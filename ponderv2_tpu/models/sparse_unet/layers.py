@@ -1,0 +1,133 @@
+"""Sparse conv flax modules over ops.spconv rulebooks."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.sparse import SparseTensor, make_sparse_tensor
+from ...ops.spconv import (
+    StridedPlan,
+    apply_sparse_conv,
+    build_inverse_rulebook,
+    build_strided_plan,
+    build_subm_rulebook,
+    kernel_offsets,
+)
+
+
+def _kernel_init(k3: int, cin: int):
+    # torch kaiming-uniform default for conv weights: U(-b, b), b = sqrt(1/fan_in)
+    fan_in = k3 * cin
+    bound = (1.0 / fan_in) ** 0.5
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class SubMConv(nn.Module):
+    """Submanifold sparse conv (spconv SubMConv3d equivalent)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, st: SparseTensor, rulebook: Optional[jnp.ndarray] = None
+    ) -> SparseTensor:
+        k3 = len(kernel_offsets(self.kernel_size))
+        cin = st.num_features
+        w = self.param("kernel", _kernel_init(k3, cin), (k3, cin, self.out_channels))
+        if rulebook is None:
+            rulebook = build_subm_rulebook(
+                st.coords, st.spatial_shape, st.batch_size, self.kernel_size
+            )
+        out = apply_sparse_conv(
+            st.features, rulebook, w, st.mask, self.compute_dtype
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = jnp.where(st.mask[:, None], out + b, 0.0)
+        return st.replace(features=out)
+
+
+class StridedConv(nn.Module):
+    """Downsampling sparse conv (spconv SparseConv3d equivalent)."""
+
+    out_channels: int
+    kernel_size: int = 2
+    stride: int = 2
+    padding: int = 0
+    out_capacity: Optional[int] = None
+    use_bias: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, st: SparseTensor, plan: Optional[StridedPlan] = None
+    ) -> SparseTensor:
+        k3 = len(kernel_offsets(self.kernel_size))
+        cin = st.num_features
+        w = self.param("kernel", _kernel_init(k3, cin), (k3, cin, self.out_channels))
+        if plan is None:
+            plan = build_strided_plan(
+                st.coords,
+                st.spatial_shape,
+                st.batch_size,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.out_capacity or st.capacity,
+            )
+        mask = plan.out_coords[:, 0] >= 0
+        out = apply_sparse_conv(st.features, plan.rulebook, w, mask, self.compute_dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = jnp.where(mask[:, None], out + b, 0.0)
+        return make_sparse_tensor(out, plan.out_coords, plan.spatial_shape, st.batch_size)
+
+
+class InverseConv(nn.Module):
+    """Upsampling inverse sparse conv (spconv SparseInverseConv3d equivalent)."""
+
+    out_channels: int
+    kernel_size: int = 2
+    stride: int = 2
+    padding: int = 0
+    use_bias: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        st: SparseTensor,
+        fine_coords: jnp.ndarray,
+        fine_spatial_shape: Tuple[int, int, int],
+        rulebook: Optional[jnp.ndarray] = None,
+    ) -> SparseTensor:
+        k3 = len(kernel_offsets(self.kernel_size))
+        cin = st.num_features
+        w = self.param("kernel", _kernel_init(k3, cin), (k3, cin, self.out_channels))
+        if rulebook is None:
+            rulebook = build_inverse_rulebook(
+                st.coords,
+                st.spatial_shape,
+                st.batch_size,
+                fine_coords,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+            )
+        mask = fine_coords[:, 0] >= 0
+        out = apply_sparse_conv(st.features, rulebook, w, mask, self.compute_dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = jnp.where(mask[:, None], out + b, 0.0)
+        return make_sparse_tensor(out, fine_coords, fine_spatial_shape, st.batch_size)

@@ -1,0 +1,204 @@
+"""Sparse conv vs dense numpy oracle: submanifold, strided, inverse variants."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ponderv2_tpu.ops.sparse import make_sparse_tensor
+from ponderv2_tpu.ops.spconv import (
+    build_strided_plan,
+    build_subm_rulebook,
+    downsample_shape,
+    inverse_conv,
+    kernel_offsets,
+    strided_conv,
+    subm_conv,
+)
+
+
+def make_scene(rng, n, shape, batch, cin, pad_rows=6):
+    coords = np.unique(
+        np.stack(
+            [
+                rng.randint(0, batch, n),
+                rng.randint(0, shape[0], n),
+                rng.randint(0, shape[1], n),
+                rng.randint(0, shape[2], n),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    ).astype(np.int32)
+    feats = rng.randn(len(coords), cin).astype(np.float32)
+    coords = np.concatenate([coords, np.full((pad_rows, 4), -1, np.int32)])
+    feats = np.concatenate([feats, np.zeros((pad_rows, cin), np.float32)])
+    return coords, feats
+
+
+def densify(coords, feats, shape, batch):
+    cin = feats.shape[1]
+    dense = np.zeros((batch, *shape, cin), np.float32)
+    for c, f in zip(coords, feats):
+        if c[0] >= 0:
+            dense[c[0], c[1], c[2], c[3]] += f
+    return dense
+
+
+def dense_conv_at(dense, out_site, weights, kernel, stride, pad):
+    """Oracle: value of a (sparse-semantics) conv at one output site."""
+    b, p = out_site[0], np.array(out_site[1:])
+    acc = np.zeros(weights.shape[-1], np.float32)
+    for k, off in enumerate(kernel_offsets(kernel)):
+        q = p * np.array(stride) - np.array(pad) + np.array(off)
+        if (q >= 0).all() and (q < np.array(dense.shape[1:4])).all():
+            acc += dense[b, q[0], q[1], q[2]] @ weights[k]
+    return acc
+
+
+class TestSubmConv:
+    @pytest.mark.parametrize("kernel", [3, 5])
+    def test_matches_dense_oracle(self, rng, kernel):
+        shape, batch, cin, cout = (10, 10, 10), 2, 4, 6
+        coords, feats = make_scene(rng, 60, shape, batch, cin)
+        weights = rng.randn(kernel**3, cin, cout).astype(np.float32) * 0.2
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        out = np.asarray(subm_conv(st, jnp.asarray(weights), kernel_size=kernel).features)
+
+        dense = densify(coords, feats, shape, batch)
+        pad = ((kernel - 1) // 2,) * 3
+        for i, c in enumerate(coords):
+            if c[0] < 0:
+                assert (out[i] == 0).all()
+                continue
+            ref = dense_conv_at(dense, c, weights, kernel, (1, 1, 1), pad)
+            np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-4)
+
+    def test_rulebook_reuse(self, rng):
+        shape, batch = (8, 8, 8), 1
+        coords, feats = make_scene(rng, 30, shape, batch, 4)
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        rb = build_subm_rulebook(st.coords, shape, batch, 3)
+        w = jnp.asarray(rng.randn(27, 4, 4).astype(np.float32))
+        out1 = subm_conv(st, w, rulebook=rb).features
+        out2 = subm_conv(st, w).features
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_batch_isolation(self, rng):
+        """A voxel in scene 0 must not see neighbors from scene 1."""
+        shape = (4, 4, 4)
+        coords = np.array([[0, 1, 1, 1], [1, 1, 1, 2]], np.int32)
+        feats = np.array([[1.0], [100.0]], np.float32)
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, 2)
+        w = jnp.ones((27, 1, 1), dtype=jnp.float32)
+        out = np.asarray(subm_conv(st, w).features)
+        assert out[0, 0] == 1.0 and out[1, 0] == 100.0
+
+
+class TestStridedConv:
+    def test_k2s2_matches_oracle(self, rng):
+        shape, batch, cin, cout = (8, 8, 8), 2, 3, 5
+        coords, feats = make_scene(rng, 50, shape, batch, cin)
+        weights = rng.randn(8, cin, cout).astype(np.float32) * 0.3
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        out_st = strided_conv(
+            st, jnp.asarray(weights), kernel_size=2, stride=2, padding=0,
+            out_capacity=64,
+        )
+        assert out_st.spatial_shape == (4, 4, 4)
+        out_coords = np.asarray(out_st.coords)
+        out = np.asarray(out_st.features)
+
+        # expected output set: every b, v//2 of an occupied voxel
+        occ = coords[coords[:, 0] >= 0]
+        expected = np.unique(
+            np.concatenate([occ[:, :1], occ[:, 1:] // 2], axis=1), axis=0
+        )
+        got = out_coords[out_coords[:, 0] >= 0]
+        np.testing.assert_array_equal(np.sort(got, axis=0), np.sort(expected, axis=0))
+
+        dense = densify(coords, feats, shape, batch)
+        for i, c in enumerate(out_coords):
+            if c[0] < 0:
+                continue
+            ref = dense_conv_at(dense, c, weights, 2, (2, 2, 2), (0, 0, 0))
+            np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-4)
+
+    def test_k3s2p1(self, rng):
+        """Stem-style strided conv with padding (nuScenes SpUNet uses k3 s2 p1)."""
+        shape, batch, cin, cout = (9, 9, 9), 1, 2, 3
+        coords, feats = make_scene(rng, 40, shape, batch, cin)
+        weights = rng.randn(27, cin, cout).astype(np.float32) * 0.3
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        out_st = strided_conv(
+            st, jnp.asarray(weights), kernel_size=3, stride=2, padding=1,
+            out_capacity=64,
+        )
+        assert out_st.spatial_shape == downsample_shape(shape, 3, 2, 1)
+        dense = densify(coords, feats, shape, batch)
+        out_coords = np.asarray(out_st.coords)
+        out = np.asarray(out_st.features)
+        for i, c in enumerate(out_coords):
+            if c[0] < 0:
+                continue
+            ref = dense_conv_at(dense, c, weights, 3, (2, 2, 2), (1, 1, 1))
+            np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-4)
+
+
+class TestInverseConv:
+    def test_k2s2_roundtrip_coords_and_values(self, rng):
+        """Down k2s2 then inverse k2s2 restores the fine coordinate set; values
+        match the transposed-conv oracle."""
+        shape, batch, cin, cmid, cout = (8, 8, 8), 2, 3, 4, 2
+        coords, feats = make_scene(rng, 50, shape, batch, cin)
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        w_down = rng.randn(8, cin, cmid).astype(np.float32) * 0.3
+        down = strided_conv(st, jnp.asarray(w_down), kernel_size=2, stride=2,
+                            padding=0, out_capacity=64)
+        w_up = rng.randn(8, cmid, cout).astype(np.float32) * 0.3
+        up = inverse_conv(
+            down, jnp.asarray(w_up), fine_coords=st.coords,
+            fine_spatial_shape=shape, kernel_size=2, stride=2, padding=0,
+        )
+        assert up.spatial_shape == shape
+        np.testing.assert_array_equal(np.asarray(up.coords), coords)
+
+        dense_coarse = densify(np.asarray(down.coords), np.asarray(down.features),
+                               (4, 4, 4), batch)
+        out = np.asarray(up.features)
+        for i, c in enumerate(coords):
+            if c[0] < 0:
+                assert (out[i] == 0).all()
+                continue
+            # inverse conv: tap d reads coarse (f + p - d)/s when exact
+            acc = np.zeros(cout, np.float32)
+            for k, off in enumerate(kernel_offsets(2)):
+                num = c[1:] - np.array(off)
+                if (num % 2 == 0).all():
+                    q = num // 2
+                    if (q >= 0).all() and (q < 4).all():
+                        acc += dense_coarse[c[0], q[0], q[1], q[2]] @ w_up[k]
+            np.testing.assert_allclose(out[i], acc, rtol=1e-4, atol=1e-4)
+
+
+class TestGradients:
+    def test_grads_flow_and_match_fd(self, rng):
+        import jax
+
+        shape, batch, cin, cout = (6, 6, 6), 1, 2, 2
+        coords, feats = make_scene(rng, 20, shape, batch, cin)
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.3)
+
+        def loss(w, f):
+            out = subm_conv(st.replace(features=f), w).features
+            return jnp.sum(out**2)
+
+        gw, gf = jax.grad(loss, argnums=(0, 1))(w, st.features)
+        # finite differences on a few weight entries
+        eps = 1e-3
+        for idx in [(0, 0, 0), (13, 1, 1), (26, 0, 1)]:
+            wp = w.at[idx].add(eps)
+            wm = w.at[idx].add(-eps)
+            fd = (loss(wp, st.features) - loss(wm, st.features)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(gw[idx]), float(fd), rtol=2e-2)
+        assert np.abs(np.asarray(gf)).sum() > 0
