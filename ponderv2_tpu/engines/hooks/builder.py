@@ -1,0 +1,9 @@
+"""HOOKS registry (reference ponder/engines/hooks/builder.py:10)."""
+
+from ...utils.registry import Registry
+
+HOOKS = Registry("hooks")
+
+
+def build_hooks(cfg_list):
+    return [HOOKS.build(dict(c)) for c in (cfg_list or [])]

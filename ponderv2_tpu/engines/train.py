@@ -1,0 +1,270 @@
+"""Trainer: hook-instrumented epoch loop around a single jitted train step.
+
+Reference: /root/reference/ponder/engines/train.py. The reference's ``run_step``
+(H2D copy → autocast forward → GradScaler backward → optimizer/scheduler step) is
+re-architected TPU-first: the whole step — forward, loss, backward, optimizer
+update, BN-stat update — is ONE jitted pure function ``(state, batch) -> (state,
+metrics)``. bf16 compute needs no loss scaler; the schedule is folded into the
+optax transform; under a device mesh the same step runs SPMD (see
+``parallel.mesh``).
+"""
+
+from __future__ import annotations
+
+import time
+import weakref
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..datasets import build_dataset, build_dataloader
+from ..datasets.dataloader import MultiDatasetDataloader
+from ..models import build_model
+from ..utils.config import Config
+from ..utils.events import EventStorage
+from ..utils.logger import get_root_logger
+from ..utils.optimizer import build_optimizer
+from ..utils.registry import Registry
+from ..utils.scheduler import build_scheduler
+from .common import split_batch
+
+TRAINERS = Registry("trainers")
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    static_ctx: Dict[str, Any],
+    loss_key: str = "loss",
+    metric_keys: Sequence[str] = (),
+):
+    """Build the jitted train step closure."""
+
+    def train_step(state: TrainState, arrays: Dict[str, jnp.ndarray]):
+        input_dict = {**arrays, **static_ctx}
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables, input_dict, train=True, mutable=["batch_stats"]
+            )
+            return out[loss_key], (out, mutated["batch_stats"])
+
+        (loss, (out, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "lr": schedule(state.step)}
+        for k in metric_keys:
+            if k in out:
+                metrics[k] = out[k]
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, static_ctx: Dict[str, Any]):
+    def eval_step(state: TrainState, arrays: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, {**arrays, **static_ctx}, train=False)
+
+    return jax.jit(eval_step)
+
+
+class TrainerBase:
+    def __init__(self):
+        self.hooks = []
+        self.epoch = 0
+        self.start_epoch = 0
+        self.max_epoch = 0
+        self.comm_info: Dict[str, Any] = {}
+        self.storage: Optional[EventStorage] = None
+
+    def register_hooks(self, hooks_cfg) -> None:
+        from .hooks.builder import build_hooks
+
+        hooks = build_hooks(hooks_cfg)
+        for h in hooks:
+            h.trainer = weakref.proxy(self)
+        self.hooks = hooks
+
+    def before_train(self):
+        for h in self.hooks:
+            h.before_train()
+
+    def before_epoch(self):
+        for h in self.hooks:
+            h.before_epoch()
+
+    def before_step(self):
+        for h in self.hooks:
+            h.before_step()
+
+    def after_step(self):
+        for h in self.hooks:
+            h.after_step()
+
+    def after_epoch(self):
+        for h in self.hooks:
+            h.after_epoch()
+
+    def after_train(self):
+        for h in self.hooks:
+            h.after_train()
+
+    def train(self):
+        with EventStorage(self.start_epoch * len(self.train_loader)) as self.storage:
+            self.before_train()
+            self.logger.info(">>>>>>>>>>>>>>>> Start Training >>>>>>>>>>>>>>>>")
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                for i, input_dict in enumerate(self.train_loader):
+                    self.comm_info["iter"] = i
+                    self.comm_info["input_dict"] = input_dict
+                    self.before_step()
+                    self.run_step()
+                    self.after_step()
+                self.after_epoch()
+            self.after_train()
+            self.logger.info("<<<<<<<<<<<<<<<<< End Training <<<<<<<<<<<<<<<<<")
+
+
+@TRAINERS.register_module("Trainer")
+class Trainer(TrainerBase):
+    def __init__(self, cfg: Config):
+        super().__init__()
+        self.cfg = cfg
+        self.epoch = 0
+        self.start_epoch = 0
+        self.max_epoch = cfg.eval_epoch  # loop-rebased epochs (reference defaults.py:125)
+        self.best_metric_value = -float("inf")
+        self.logger = get_root_logger(
+            log_file=f"{cfg.save_path}/train.log" if cfg.get("save_path") else None
+        )
+        self.logger.info(f"Save path: {cfg.get('save_path')}")
+        self.logger.info(f"Config:\n{cfg.pretty_text}")
+
+        self.logger.info("=> Building model ...")
+        self.model = build_model(dict(cfg.model))
+        self.logger.info("=> Building train dataset & loader ...")
+        self.train_loader = self.build_train_loader()
+        self.val_loader = self.build_val_loader()
+
+        total_steps = len(self.train_loader) * self.max_epoch
+        self.logger.info(f"=> Total steps: {total_steps}")
+        self.schedule = build_scheduler(dict(cfg.scheduler), total_steps)
+
+        self.logger.info("=> Initializing params (tracing model) ...")
+        template = next(iter(self.train_loader))
+        arrays, _ = split_batch(template)
+        self.static_ctx = self.build_static_ctx()
+        variables = self.model.init(
+            jax.random.PRNGKey(cfg.get("seed", 0)),
+            {**{k: jnp.asarray(v) for k, v in arrays.items()}, **self.static_ctx},
+            train=False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.logger.info(f"Num params: {n_params}")
+        self.tx = build_optimizer(dict(cfg.optimizer), params, self.schedule)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        self.train_step = make_train_step(
+            self.model,
+            self.tx,
+            self.schedule,
+            self.static_ctx,
+            metric_keys=tuple(cfg.get("metric_keys", ())),
+        )
+        self.eval_step = make_eval_step(self.model, self.static_ctx)
+        self.register_hooks(cfg.get("hooks", []))
+
+    # ------------------------------------------------------------------ build
+    def build_static_ctx(self) -> Dict[str, Any]:
+        ctx = dict(
+            spatial_shape=tuple(self.cfg.get("sparse_shape", (1024, 1024, 1024))),
+            batch_size=int(self.cfg.batch_size),
+        )
+        ctx.update(self.cfg.get("static_ctx", {}))
+        return ctx
+
+    def build_train_loader(self):
+        cfg = self.cfg
+        dataset = build_dataset(dict(cfg.data.train))
+        return build_dataloader(
+            dataset,
+            batch_size=cfg.batch_size,
+            num_workers=cfg.get("num_worker", 0),
+            shuffle=True,
+            drop_last=True,
+            point_budget=cfg.get("point_budget"),
+            scene_budget=cfg.batch_size,
+            mix_prob=cfg.get("mix_prob", 0.0),
+            seed=cfg.get("seed", 0),
+        )
+
+    def build_val_loader(self):
+        cfg = self.cfg
+        if not cfg.get("evaluate", True) or "val" not in cfg.data:
+            return None
+        dataset = build_dataset(dict(cfg.data.val))
+        return build_dataloader(
+            dataset,
+            batch_size=cfg.get("batch_size_val", 1),
+            num_workers=cfg.get("num_worker", 0),
+            shuffle=False,
+            drop_last=False,
+            point_budget=cfg.get("point_budget_val", cfg.get("point_budget")),
+            scene_budget=cfg.get("batch_size_val", 1),
+            seed=cfg.get("seed", 0),
+        )
+
+    # ------------------------------------------------------------------- step
+    def run_step(self):
+        arrays, _ = split_batch(self.comm_info["input_dict"])
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        self.state, metrics = self.train_step(self.state, arrays)
+        self.comm_info["metrics"] = metrics
+
+    def sync_metrics(self) -> Dict[str, float]:
+        """Device->host fetch of the last step's metrics (blocks)."""
+        return {k: float(v) for k, v in self.comm_info.get("metrics", {}).items()}
+
+
+@TRAINERS.register_module("MultiDatasetTrainer")
+class MultiDatasetTrainer(Trainer):
+    def build_train_loader(self):
+        cfg = self.cfg
+        dataset = build_dataset(dict(cfg.data.train))
+        return MultiDatasetDataloader(
+            dataset,
+            batch_size_per_dataset=cfg.batch_size,
+            num_workers=cfg.get("num_worker", 0),
+            point_budget=cfg.get("point_budget"),
+            mix_prob=cfg.get("mix_prob", 0.0),
+            seed=cfg.get("seed", 0),
+        )

@@ -1,0 +1,131 @@
+"""Device-mesh data parallelism: shard_map SPMD train steps.
+
+The reference's only parallelism is DDP (NCCL allreduce on backward,
+/root/reference/ponder/engines/defaults.py:22-43). The TPU-native equivalent:
+
+- a ``jax.sharding.Mesh`` with a ``data`` axis over all chips;
+- the train step wrapped in ``jax.shard_map``: every device runs the full model
+  on its own scene shard (scenes never straddle devices — sparse conv never mixes
+  batch elements, so per-device rulebooks are exact);
+- gradients / loss / BN statistics are averaged with ``lax.pmean`` over ICI —
+  the XLA collective replacing DDP's allreduce (and SyncBatchNorm);
+- parameters and optimizer state are replicated.
+
+Batches arrive with a leading device axis: ``(D, point_budget, ...)`` built by
+``shard_collate`` (each slice an independently collated sub-batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def create_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_collate(
+    scenes: Sequence[Dict[str, Any]],
+    num_devices: int,
+    point_budget: int,
+    scenes_per_device: int,
+    mix_prob: float = 0.0,
+) -> Dict[str, np.ndarray]:
+    """Collate scenes into a (D, ...) stacked batch, one sub-batch per device."""
+    from ..datasets.utils import collate_fn
+
+    assert len(scenes) == num_devices * scenes_per_device
+    subs = []
+    for d in range(num_devices):
+        sub = collate_fn(
+            scenes[d * scenes_per_device : (d + 1) * scenes_per_device],
+            point_budget=point_budget,
+            mix_prob=mix_prob,
+            scene_budget=scenes_per_device,
+        )
+        sub.pop("offset", None)
+        sub.pop("batch_size", None)
+        subs.append(sub)
+    out = {}
+    for k in subs[0]:
+        v0 = subs[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in subs], axis=0)
+    return out
+
+
+def make_sharded_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    static_ctx: Dict[str, Any],
+    mesh: Mesh,
+    axis_name: str = "data",
+    loss_key: str = "loss",
+):
+    """Data-parallel train step over ``mesh``: state replicated, batch sharded."""
+
+    def per_device_step(state, arrays):
+        # arrays arrive as the local shard with a leading length-1 device axis
+        arrays = {k: v[0] for k, v in arrays.items()}
+        input_dict = {**arrays, **static_ctx}
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables, input_dict, train=True, mutable=["batch_stats"]
+            )
+            return out[loss_key], mutated["batch_stats"]
+
+        (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # DDP-equivalent gradient allreduce + stat sync, riding ICI
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        batch_stats = jax.lax.pmean(batch_stats, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        metrics = {"loss": loss, "lr": schedule(state.step)}
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        per_device_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place the train state replicated across the mesh."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def shard_batch(arrays: Dict[str, np.ndarray], mesh: Mesh, axis_name: str = "data"):
+    """Place a (D, ...) batch sharded on its leading axis."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in arrays.items()}

@@ -103,8 +103,11 @@ def build_from_cfg(
 
     ``type`` may also be a callable already (bypasses the registry).
     """
-    if not isinstance(cfg, dict):
-        raise TypeError(f"cfg must be a dict, got {type(cfg)}")
+    from collections.abc import Mapping
+
+    if not isinstance(cfg, Mapping):
+        raise TypeError(f"cfg must be a mapping, got {type(cfg)}")
+    cfg = dict(cfg)  # accept FrozenDict/ConfigDict etc.
     if "type" not in cfg:
         if default_args is None or "type" not in default_args:
             raise KeyError(f"cfg must contain the key 'type': {cfg}")

@@ -1,0 +1,127 @@
+"""SpUNet backbone + DefaultSegmentor: shapes, masking, losses, gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ponderv2_tpu.models import MODELS, build_model
+from ponderv2_tpu.ops.sparse import make_sparse_tensor
+
+SMALL = dict(
+    type="SpUNet-v1m1",
+    in_channels=4,
+    num_classes=5,
+    base_channels=8,
+    channels=(8, 16, 16, 16, 16, 16, 8, 8),
+    layers=(1, 1, 1, 1, 1, 1, 1, 1),
+)
+
+
+def make_batch(rng, n=120, cap=160, shape=(32, 32, 32), batch=2, cin=4):
+    coords = np.stack(
+        [
+            rng.randint(0, batch, n),
+            rng.randint(0, shape[0], n),
+            rng.randint(0, shape[1], n),
+            rng.randint(0, shape[2], n),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    coords = np.unique(coords, axis=0)
+    n = len(coords)
+    feat = rng.randn(n, cin).astype(np.float32)
+    pad = cap - n
+    coords = np.concatenate([coords, np.full((pad, 4), -1, np.int32)])
+    feat = np.concatenate([feat, np.zeros((pad, cin), np.float32)])
+    segment = np.concatenate(
+        [rng.randint(0, 5, n), np.full(pad, -1)]
+    ).astype(np.int32)
+    return coords, feat, segment
+
+
+class TestSpUNet:
+    def test_forward_shapes_and_mask(self, rng):
+        coords, feat, _ = make_batch(rng)
+        model = build_model(dict(SMALL))
+        st = make_sparse_tensor(jnp.asarray(feat), jnp.asarray(coords), (32, 32, 32), 2)
+        variables = model.init(jax.random.PRNGKey(0), st, train=False)
+        out = model.apply(variables, st, train=False)
+        assert out.shape == (st.capacity, 5)
+        valid = coords[:, 0] >= 0
+        assert np.abs(np.asarray(out)[~valid]).sum() == 0  # padding rows zero
+        assert np.abs(np.asarray(out)[valid]).sum() > 0
+
+    def test_batch_stats_update_in_train(self, rng):
+        coords, feat, _ = make_batch(rng)
+        model = build_model(dict(SMALL))
+        st = make_sparse_tensor(jnp.asarray(feat), jnp.asarray(coords), (32, 32, 32), 2)
+        variables = model.init(jax.random.PRNGKey(0), st, train=True)
+        out, mutated = model.apply(
+            variables, st, train=True, mutable=["batch_stats"]
+        )
+        before = variables["batch_stats"]["stem_bn"]["mean"]
+        after = mutated["batch_stats"]["stem_bn"]["mean"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_padding_invariance(self, rng):
+        """Extra padding rows must not change valid outputs (static-shape
+        correctness: the padded design may not leak into real voxels)."""
+        coords, feat, _ = make_batch(rng, n=60, cap=80)
+        model = build_model(dict(SMALL))
+        st1 = make_sparse_tensor(jnp.asarray(feat), jnp.asarray(coords), (32, 32, 32), 2)
+        # same data, larger capacity
+        coords2 = np.concatenate([coords, np.full((40, 4), -1, np.int32)])
+        feat2 = np.concatenate([feat, np.zeros((40, 4), np.float32)])
+        st2 = make_sparse_tensor(jnp.asarray(feat2), jnp.asarray(coords2), (32, 32, 32), 2)
+        variables = model.init(jax.random.PRNGKey(0), st1, train=False)
+        out1 = np.asarray(model.apply(variables, st1, train=False))
+        out2 = np.asarray(model.apply(variables, st2, train=False))
+        valid = coords[:, 0] >= 0
+        np.testing.assert_allclose(out1[valid], out2[: len(coords)][valid],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_cls_mode(self, rng):
+        coords, feat, _ = make_batch(rng)
+        cfg = dict(SMALL, cls_mode=True, num_classes=7,
+                   channels=(8, 16, 16, 16), layers=(1, 1, 1, 1))
+        model = build_model(cfg)
+        st = make_sparse_tensor(jnp.asarray(feat), jnp.asarray(coords), (32, 32, 32), 2)
+        variables = model.init(jax.random.PRNGKey(0), st, train=False)
+        out = model.apply(variables, st, train=False)
+        assert out.shape == (2, 7)
+
+
+class TestDefaultSegmentor:
+    def test_loss_and_grads(self, rng):
+        coords, feat, segment = make_batch(rng)
+        model = build_model(
+            dict(type="DefaultSegmentor", backbone=dict(SMALL),
+                 criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                                ignore_index=-1),
+                           dict(type="LovaszLoss", mode="multiclass",
+                                loss_weight=1.0, ignore_index=-1)])
+        )
+        batch = dict(
+            feat=jnp.asarray(feat),
+            grid_coord=jnp.asarray(coords[:, 1:]),
+            batch=jnp.asarray(coords[:, 0]),
+            spatial_shape=(32, 32, 32),
+            batch_size=2,
+            segment=jnp.asarray(segment),
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, batch, train=True,
+                mutable=["batch_stats"],
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+        )
+        assert gnorm > 0
