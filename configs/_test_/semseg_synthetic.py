@@ -72,3 +72,35 @@ data = dict(
         transform=_val_transform,
     ),
 )
+
+_test_post = [
+    dict(type="Collect", keys=("coord", "grid_coord", "index"),
+         feat_keys=("color", "normal")),
+]
+data.update(
+    test=dict(
+        type="SyntheticDataset",
+        num_scenes=2,
+        points_per_scene=3000,
+        num_classes=num_classes,
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="PositiveShift"),
+            dict(type="NormalizeColor"),
+        ],
+        test_mode=True,
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.05, hash_type="fnv",
+                          mode="test", return_grid_coord=True,
+                          keys=("coord", "color", "normal")),
+            post_transform=_test_post,
+            aug_transform=[
+                [dict(type="RandomRotateTargetAngle", angle=[0], axis="z",
+                      center=[0, 0, 0], p=1)],
+                [dict(type="RandomRotateTargetAngle", angle=[1], axis="z",
+                      center=[0, 0, 0], p=1)],
+            ],
+        ),
+    ),
+)
+point_budget_test = 4096

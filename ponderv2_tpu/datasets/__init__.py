@@ -4,3 +4,7 @@ from .utils import collate_fn, point_collate_fn
 from .dataloader import build_dataloader, MultiDatasetDataloader
 
 from . import defaults  # noqa: F401
+from . import scannet  # noqa: F401
+from . import s3dis  # noqa: F401
+from . import structure3d  # noqa: F401
+from . import nuscenes  # noqa: F401

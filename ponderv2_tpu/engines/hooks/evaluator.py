@@ -144,3 +144,157 @@ class ClsEvaluator(HookBase):
         trainer.storage.put_scalar("val/allAcc", acc, smoothing_hint=False)
         trainer.comm_info["current_metric_value"] = acc
         trainer.comm_info["current_metric_name"] = "allAcc"
+
+
+def _average_precision(scores, matched, num_gt):
+    """AP from scored predictions with binary match flags (all-point interp)."""
+    if num_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-np.asarray(scores))
+    matched = np.asarray(matched)[order]
+    tp = np.cumsum(matched)
+    fp = np.cumsum(~matched)
+    recall = tp / num_gt
+    precision = tp / np.maximum(tp + fp, 1)
+    # envelope + integrate
+    precision = np.concatenate([[0.0], precision, [0.0]])
+    recall = np.concatenate([[0.0], recall, [recall[-1] if len(recall) else 0.0]])
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    idx = np.where(recall[1:] != recall[:-1])[0]
+    return float(np.sum((recall[idx + 1] - recall[idx]) * precision[idx + 1]))
+
+
+def evaluate_instance_ap(
+    scene_preds,
+    scene_gts,
+    num_classes,
+    segment_ignore_index=(-1, 0, 1),
+    min_region_size=100,
+):
+    """ScanNet-protocol instance AP (reference hooks/evaluator.py:233-510).
+
+    scene_preds: per scene, list of dicts {mask (N,), cls, score}.
+    scene_gts: per scene, dict {instance (N,), segment (N,)}.
+    Returns dict(mAP, mAP25, mAP50, per-class APs).
+    """
+    thresholds = np.arange(0.5, 0.96, 0.05)
+    valid_classes = [
+        c for c in range(num_classes) if c not in segment_ignore_index
+    ]
+    ap_table = np.full((len(thresholds) + 1, num_classes), np.nan)
+    all_t = [0.25] + list(thresholds)
+
+    for ti, t in enumerate(all_t):
+        for c in valid_classes:
+            scores, matched, num_gt = [], [], 0
+            for preds, gt in zip(scene_preds, scene_gts):
+                inst = np.asarray(gt["instance"])
+                seg = np.asarray(gt["segment"])
+                gt_masks = []
+                for i in np.unique(inst[inst >= 0]):
+                    m = inst == i
+                    cls_votes = seg[m]
+                    cls_votes = cls_votes[cls_votes >= 0]
+                    if len(cls_votes) == 0:
+                        continue
+                    gcls = np.bincount(cls_votes).argmax()
+                    if gcls == c and m.sum() >= min_region_size:
+                        gt_masks.append(m)
+                num_gt += len(gt_masks)
+                used = np.zeros(len(gt_masks), bool)
+                c_preds = sorted(
+                    [p for p in preds if p["cls"] == c],
+                    key=lambda p: -p["score"],
+                )
+                for p in c_preds:
+                    pm = np.asarray(p["mask"])
+                    best_iou, best_j = 0.0, -1
+                    for j, gm in enumerate(gt_masks):
+                        if used[j]:
+                            continue
+                        inter_ = np.logical_and(pm, gm).sum()
+                        union_ = np.logical_or(pm, gm).sum()
+                        iou = inter_ / max(union_, 1)
+                        if iou > best_iou:
+                            best_iou, best_j = iou, j
+                    hit = best_iou >= t
+                    if hit:
+                        used[best_j] = True
+                    scores.append(p["score"])
+                    matched.append(hit)
+            ap_table[ti, c] = _average_precision(scores, matched, num_gt)
+
+    def _mean(rows):
+        vals = rows[:, valid_classes]
+        return float(np.nanmean(vals)) if np.isfinite(vals).any() else 0.0
+
+    return dict(
+        mAP25=_mean(ap_table[0:1]),
+        mAP50=_mean(ap_table[1:2]),
+        mAP=_mean(ap_table[1:]),
+        ap_table=ap_table,
+    )
+
+
+@HOOKS.register_module()
+class InsSegEvaluator(HookBase):
+    """Instance segmentation evaluator (reference hooks/evaluator.py:210-587):
+    jitted forward for semantic/offset, host clustering, ScanNet AP matching."""
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1), instance_ignore_index=-1):
+        self.segment_ignore_index = tuple(segment_ignore_index)
+        self.instance_ignore_index = instance_ignore_index
+
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader is not None:
+            self.eval()
+
+    def eval(self):
+        trainer = self.trainer
+        logger = trainer.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = trainer.cfg.data.num_classes
+        model = trainer.model
+        scene_preds, scene_gts = [], []
+        for input_dict in trainer.val_loader:
+            arrays, _ = split_batch(input_dict)
+            jarrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            out = trainer.eval_step(trainer.state, jarrays)
+            batch = np.asarray(input_dict["batch"])
+            proposals = model.propose_instances(
+                input_dict["coord"], out["seg_logits"], out["bias_pred"], batch
+            )
+            for b in np.unique(batch[batch >= 0]):
+                sel = batch == b
+                scene_preds.append(
+                    [
+                        dict(mask=p["mask"][sel], cls=p["cls"], score=p["score"])
+                        for p in proposals
+                        if p["batch"] == b
+                    ]
+                )
+                scene_gts.append(
+                    dict(
+                        instance=np.asarray(input_dict["instance"])[sel],
+                        segment=np.asarray(input_dict["segment"])[sel],
+                    )
+                )
+        # gather scenes across hosts (reference evaluator.py:558-560)
+        all_preds = [p for r in comm.all_gather(scene_preds) for p in r]
+        all_gts = [g for r in comm.all_gather(scene_gts) for g in r]
+        result = evaluate_instance_ap(
+            all_preds, all_gts, num_classes, self.segment_ignore_index
+        )
+        logger.info(
+            f"Val result: mAP/mAP50/mAP25 {result['mAP']:.4f}/"
+            f"{result['mAP50']:.4f}/{result['mAP25']:.4f}"
+        )
+        trainer.storage.put_scalar("val/mAP", result["mAP"], smoothing_hint=False)
+        trainer.storage.put_scalar("val/mAP50", result["mAP50"], smoothing_hint=False)
+        trainer.storage.put_scalar("val/mAP25", result["mAP25"], smoothing_hint=False)
+        trainer.comm_info["current_metric_value"] = result["mAP50"]
+        trainer.comm_info["current_metric_name"] = "mAP50"
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")

@@ -266,3 +266,29 @@ class RuntimeProfiler(HookBase):
         trainer.logger.info("Profiling done.")
         if self.exit_after:
             raise SystemExit(0)
+
+
+@HOOKS.register_module()
+class PreciseEvaluator(HookBase):
+    """Runs the full fragment-voting tester after training completes
+    (reference hooks/misc.py:256-280)."""
+
+    def __init__(self, test_last: bool = False):
+        self.test_last = test_last
+
+    def after_train(self):
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Precise Evaluation >>>>>>>>>>>>>>>>")
+        from ..test import TESTERS
+
+        cfg = trainer.cfg
+        tester_cfg = dict(cfg.get("test", {"type": "SemSegTester"}))
+        which = "model_last.pth" if self.test_last else "model_best.pth"
+        weight = os.path.join(cfg.save_path, "model", which)
+        if not os.path.isfile(weight):
+            weight = os.path.join(cfg.save_path, "model", "model_last.pth")
+        cfg.weight = weight
+        tester = TESTERS.build(
+            dict(type=tester_cfg.get("type", "SemSegTester"), cfg=cfg)
+        )
+        tester.test()

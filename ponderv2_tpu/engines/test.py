@@ -1,0 +1,266 @@
+"""Testers: precise inference with TTA/fragment voting (reference engines/test.py).
+
+``SemSegTester`` mirrors the reference protocol (test.py:115-336): per scene, the
+dataset emits aug×fragment variants (GridSample mode="test" complementary
+fragments); each fragment runs through the jitted forward; softmax probabilities
+accumulate into the full-resolution point cloud by fragment index; argmax is
+scored against the raw labels and optionally written as a submission file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..datasets import build_dataset
+from ..datasets.utils import collate_fn
+from ..models import build_model
+from ..utils import comm
+from ..utils.logger import get_root_logger
+from ..utils.misc import AverageMeter, intersection_and_union
+from ..utils.registry import Registry
+from .common import split_batch
+from .hooks.misc import load_checkpoint
+from .train import TrainState
+
+TESTERS = Registry("testers")
+
+
+class TesterBase:
+    def __init__(self, cfg, model=None, state=None, test_loader=None, verbose=False):
+        self.logger = get_root_logger(
+            log_file=os.path.join(cfg.save_path, "test.log")
+            if cfg.get("save_path") else None
+        )
+        self.cfg = cfg
+        self.verbose = verbose
+        self.model = model if model is not None else self.build_model()
+        self.state = state if state is not None else self.load_state()
+        self.test_dataset = (
+            test_loader if test_loader is not None else self.build_test_dataset()
+        )
+        self.static_ctx = dict(
+            spatial_shape=tuple(cfg.get("sparse_shape", (1024, 1024, 1024))),
+            batch_size=1,
+        )
+        self._eval_fn = None
+
+    def build_model(self):
+        return build_model(dict(self.cfg.model))
+
+    def load_state(self) -> TrainState:
+        weight = self.cfg.get("weight")
+        assert weight and os.path.isfile(weight), f"checkpoint not found: {weight}"
+        raw, extra = load_checkpoint(weight)
+        self.logger.info(
+            f"Loaded weight from {weight} (epoch {extra.get('epoch', '?')})"
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=raw["params"],
+            batch_stats=raw.get("batch_stats", {}),
+            opt_state=None,
+            constants=raw.get("constants", {}) or None,
+        )
+
+    def build_test_dataset(self):
+        return build_dataset(dict(self.cfg.data.test))
+
+    def eval_fragment(self, arrays: Dict[str, jnp.ndarray]):
+        if self._eval_fn is None:
+            model, static_ctx, state = self.model, self.static_ctx, self.state
+
+            @jax.jit
+            def fwd(state, arrays):
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                if state.constants:
+                    variables["constants"] = state.constants
+                return model.apply(variables, {**arrays, **static_ctx},
+                                   train=False)
+
+            self._eval_fn = fwd
+        return self._eval_fn(self.state, arrays)
+
+    def test(self):
+        raise NotImplementedError
+
+
+@TESTERS.register_module()
+class SemSegTester(TesterBase):
+    def test(self):
+        logger = self.logger
+        cfg = self.cfg
+        dataset = self.test_dataset
+        num_classes = cfg.data.num_classes
+        ignore_index = cfg.data.get("ignore_index", -1)
+        point_budget = cfg.get("point_budget_test", cfg.get("point_budget"))
+        save_path = cfg.get("save_path", ".")
+        submit = cfg.get("submit", False)
+
+        os.makedirs(os.path.join(save_path, "result"), exist_ok=True)
+        if submit:
+            os.makedirs(os.path.join(save_path, "submit"), exist_ok=True)
+
+        logger.info(">>>>>>>>>>>>>>>> Start Testing >>>>>>>>>>>>>>>>")
+        inter_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        batch_meter = AverageMeter()
+
+        indices = list(range(len(dataset)))
+        # multi-host: stripe scenes across processes
+        indices = indices[comm.get_rank():: comm.get_world_size()]
+
+        records = {}
+        import time
+
+        for n, idx in enumerate(indices):
+            t0 = time.perf_counter()
+            data_dict = dataset[idx]
+            name = data_dict["name"]
+            segment = np.asarray(data_dict.get("segment"))
+            fragments = data_dict["fragment_list"]
+            num_points = (
+                segment.shape[0] if segment is not None and segment.ndim > 0
+                else max(int(f["index"].max()) + 1 for f in fragments)
+            )
+            pred = np.zeros((num_points, num_classes), np.float32)
+            for frag in fragments:
+                index = np.asarray(frag["index"])
+                batch = collate_fn([{k: v for k, v in frag.items() if k != "index"}],
+                                   point_budget=point_budget, scene_budget=1)
+                arrays, _ = split_batch(batch)
+                arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+                out = self.eval_fragment(arrays)
+                logits = np.asarray(out["seg_logits"])[: len(index)]
+                probs = np.exp(logits - logits.max(-1, keepdims=True))
+                probs /= probs.sum(-1, keepdims=True)
+                pred[index] += probs
+            final = pred.argmax(-1)
+            batch_meter.update(time.perf_counter() - t0)
+
+            if segment is not None and segment.ndim > 0:
+                inter, union, target = intersection_and_union(
+                    final, segment, num_classes, ignore_index
+                )
+                inter_sum += inter
+                union_sum += union
+                target_sum += target
+                mask = union != 0
+                iou = (inter[mask] / np.maximum(union[mask], 1)).mean() if mask.any() else 0
+                acc = inter.sum() / max(target.sum(), 1)
+                records[name] = dict(intersection=inter, union=union, target=target)
+                logger.info(
+                    f"Test: {name} [{n + 1}/{len(indices)}]-{num_points} "
+                    f"Batch {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
+                    f"Accuracy {acc:.4f} mIoU {iou:.4f}"
+                )
+            np.save(os.path.join(save_path, "result", f"{name}_pred.npy"), final)
+            if submit:
+                self.write_submission(name, final, save_path)
+
+        # gather across hosts
+        gathered = comm.gather(records, dst=0)
+        if comm.is_main_process():
+            merged = {}
+            for r in gathered:
+                merged.update(r)
+            if merged:
+                inter_sum = sum(v["intersection"] for v in merged.values())
+                union_sum = sum(v["union"] for v in merged.values())
+                target_sum = sum(v["target"] for v in merged.values())
+            iou_class = inter_sum / (union_sum + 1e-10)
+            acc_class = inter_sum / (target_sum + 1e-10)
+            m_iou = float(np.mean(iou_class))
+            m_acc = float(np.mean(acc_class))
+            all_acc = float(inter_sum.sum() / (target_sum.sum() + 1e-10))
+            logger.info(
+                f"Syncing ... Val result: mIoU/mAcc/allAcc "
+                f"{m_iou:.4f}/{m_acc:.4f}/{all_acc:.4f}"
+            )
+            names = cfg.data.get("names", [str(i) for i in range(num_classes)])
+            for c in range(num_classes):
+                logger.info(
+                    f"Class_{c} - {names[c]} Result: iou/accuracy "
+                    f"{iou_class[c]:.4f}/{acc_class[c]:.4f}"
+                )
+        logger.info("<<<<<<<<<<<<<<<<< End Testing <<<<<<<<<<<<<<<<<")
+
+    def write_submission(self, name: str, pred: np.ndarray, save_path: str):
+        """Per-dataset submission writers (reference test.py:252-288)."""
+        data_cfg = dict(self.cfg.data.test)
+        ds_type = data_cfg.get("type", "")
+        submit_dir = os.path.join(save_path, "submit")
+        if "ScanNet" in ds_type:
+            from ..datasets.scannet import VALID_CLASS_IDS_20
+
+            remapped = np.asarray(VALID_CLASS_IDS_20)[pred]
+            np.savetxt(
+                os.path.join(submit_dir, f"{name}.txt"), remapped, fmt="%d"
+            )
+        elif "NuScenes" in ds_type:
+            # lidarseg bin: uint8 labels in the original 32-class space + 1
+            np.asarray(pred + 1, np.uint8).tofile(
+                os.path.join(submit_dir, f"{name}_lidarseg.bin")
+            )
+        else:
+            np.savetxt(os.path.join(submit_dir, f"{name}.txt"), pred, fmt="%d")
+
+
+@TESTERS.register_module()
+class ClsTester(TesterBase):
+    def test(self):
+        logger = self.logger
+        num_classes = self.cfg.data.num_classes
+        inter_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        for i in range(len(self.test_dataset)):
+            data = self.test_dataset[i]
+            batch = collate_fn([data], point_budget=self.cfg.get("point_budget"))
+            arrays, _ = split_batch(batch)
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            out = self.eval_fragment(arrays)
+            pred = np.asarray(out["cls_logits"]).argmax(-1)
+            target = np.asarray(batch["category"]).reshape(-1)
+            inter, union, t = intersection_and_union(pred, target, num_classes)
+            inter_sum += inter
+            union_sum += union
+            target_sum += t
+        acc = inter_sum.sum() / (target_sum.sum() + 1e-10)
+        logger.info(f"Test result: allAcc {acc:.4f}")
+
+
+@TESTERS.register_module()
+class PartSegTester(TesterBase):
+    """Part segmentation tester (reference test.py:417-509): per-category IoU."""
+
+    def test(self):
+        logger = self.logger
+        num_classes = self.cfg.data.num_classes
+        iou_cat = np.zeros(num_classes)
+        count = np.zeros(num_classes)
+        for i in range(len(self.test_dataset)):
+            data = self.test_dataset[i]
+            batch = collate_fn([data], point_budget=self.cfg.get("point_budget"))
+            arrays, _ = split_batch(batch)
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            out = self.eval_fragment(arrays)
+            pred = np.asarray(out["seg_logits"]).argmax(-1)
+            segment = np.asarray(batch["segment"])
+            valid = np.asarray(batch["batch"]) >= 0
+            inter, union, _ = intersection_and_union(
+                np.where(valid, pred, -1), np.where(valid, segment, -1), num_classes
+            )
+            m = union > 0
+            if m.any():
+                cat = int(batch.get("category", [0])[0]) if "category" in batch else 0
+                iou_cat[cat] += (inter[m] / union[m]).mean()
+                count[cat] += 1
+        miou = (iou_cat[count > 0] / count[count > 0]).mean() if (count > 0).any() else 0
+        logger.info(f"Test result: category mIoU {miou:.4f}")

@@ -40,6 +40,15 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    constants: Any = None  # frozen collections (e.g. CLIP class embeddings)
+
+
+def _variables(state: "TrainState", params=None):
+    v = {"params": params if params is not None else state.params,
+         "batch_stats": state.batch_stats}
+    if state.constants:
+        v["constants"] = state.constants
+    return v
 
 
 def make_train_step(
@@ -49,16 +58,22 @@ def make_train_step(
     static_ctx: Dict[str, Any],
     loss_key: str = "loss",
     metric_keys: Sequence[str] = (),
+    rng_seed: int = 0,
 ):
-    """Build the jitted train step closure."""
+    """Build the jitted train step closure. A per-step PRNG key (derived from
+    the step counter) is injected as input_dict["rng"] for stochastic models
+    (ray sampling, masking)."""
+
+    base_rng = jax.random.PRNGKey(rng_seed)
 
     def train_step(state: TrainState, arrays: Dict[str, jnp.ndarray]):
-        input_dict = {**arrays, **static_ctx}
+        rng = jax.random.fold_in(base_rng, state.step)
+        input_dict = {**arrays, **static_ctx, "rng": rng}
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
             out, mutated = model.apply(
-                variables, input_dict, train=True, mutable=["batch_stats"]
+                _variables(state, params), input_dict, train=True,
+                mutable=["batch_stats"],
             )
             return out[loss_key], (out, mutated["batch_stats"])
 
@@ -84,8 +99,7 @@ def make_train_step(
 
 def make_eval_step(model, static_ctx: Dict[str, Any]):
     def eval_step(state: TrainState, arrays: Dict[str, jnp.ndarray]):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return model.apply(variables, {**arrays, **static_ctx}, train=False)
+        return model.apply(_variables(state), {**arrays, **static_ctx}, train=False)
 
     return jax.jit(eval_step)
 
@@ -192,6 +206,7 @@ class Trainer(TrainerBase):
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
+            constants=variables.get("constants", {}),
         )
         self.train_step = make_train_step(
             self.model,
@@ -199,6 +214,7 @@ class Trainer(TrainerBase):
             self.schedule,
             self.static_ctx,
             metric_keys=tuple(cfg.get("metric_keys", ())),
+            rng_seed=cfg.get("seed", 0),
         )
         self.eval_step = make_eval_step(self.model, self.static_ctx)
         self.register_hooks(cfg.get("hooks", []))

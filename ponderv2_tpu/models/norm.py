@@ -92,6 +92,12 @@ class PDBatchNorm(nn.Module):
                 )
                 for c in self.conditions
             ]
+            if self.is_initializing():
+                # materialize every condition's variables so any condition can
+                # be selected at apply time (each dataset only touches its own)
+                for i, nm in enumerate(norms):
+                    if i != condition_idx:
+                        nm(x, mask, train)
             # condition_idx is a static python int (per-dataset jit specialization)
             y = norms[condition_idx](x, mask, train)
         else:

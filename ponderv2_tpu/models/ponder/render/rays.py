@@ -67,3 +67,13 @@ def merge_ray_samples(
     # re-derive contiguous bins: ends become the next start (last keeps its end)
     new_ends = jnp.concatenate([starts[..., 1:], ends[..., -1:]], axis=-1)
     return starts, new_ends, order
+
+
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims=False, eps: float = 1e-8):
+    """Differentiable-at-zero vector norm: sqrt(sum x^2 + eps^2)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps * eps)
+
+
+def safe_normalize(x: jnp.ndarray, axis=-1, eps: float = 1e-8):
+    """Normalize with a smooth zero-safe denominator (grad-finite at x=0)."""
+    return x / safe_norm(x, axis=axis, keepdims=True, eps=eps)

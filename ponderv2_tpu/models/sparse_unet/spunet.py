@@ -160,6 +160,10 @@ class SpUNet(nn.Module):
                     x, rb, train
                 )
 
+        if self.num_classes == 0:
+            # backbone mode: raw per-voxel features (reference num_classes=0
+            # makes the final layer identity, spconv_unet_v1m1_base.py)
+            return x.features
         logits = nn.Dense(self.num_classes, name="final")(x.features)
         return jnp.where(x.mask[:, None], logits, 0.0)
 

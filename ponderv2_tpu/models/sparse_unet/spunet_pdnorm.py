@@ -1,0 +1,191 @@
+"""SpUNet-v1m3: Prompt-Driven-Norm sparse U-Net for multi-dataset training.
+
+Reference: /root/reference/ponder/models/sparse_unet/spconv_unet_v1m3_pdnorm.py
+(PDBatchNorm 23-72, blocks threading (x, condition, context) 75-230). Every norm
+is a per-condition decoupled BN with optional SiLU-Linear FiLM modulation from a
+context embedding. The condition index is a *static* python int per jit trace —
+each dataset gets its own specialized executable, which is exactly what we want
+on TPU (no data-dependent branching).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.sparse import SparseTensor
+from ...ops.spconv import (
+    build_inverse_rulebook,
+    build_strided_plan,
+    build_subm_rulebook,
+)
+from ...ops.scatter import segment_mean
+from ..builder import MODELS
+from ..norm import PDBatchNorm
+from .layers import InverseConv, StridedConv, SubMConv
+from .spunet import capacity_schedule
+
+
+class PDBasicBlock(nn.Module):
+    channels: int
+    conditions: Tuple[str, ...]
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+    eps: float = 1e-3
+    momentum: float = 0.01
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, rulebook, train, condition_idx, context):
+        norm = partial(
+            PDBatchNorm,
+            conditions=self.conditions,
+            decouple=self.decouple,
+            adaptive=self.adaptive,
+            context_channels=self.context_channels,
+            eps=self.eps,
+            momentum=self.momentum,
+        )
+        identity = st.features
+        x = SubMConv(self.channels, 3, compute_dtype=self.compute_dtype,
+                     name="conv1")(st, rulebook)
+        h = norm(features=self.channels, name="bn1")(
+            x.features, st.mask, train, condition_idx, context
+        )
+        h = nn.relu(h)
+        x = SubMConv(self.channels, 3, compute_dtype=self.compute_dtype,
+                     name="conv2")(st.replace(features=h), rulebook)
+        h = norm(features=self.channels, name="bn2")(
+            x.features, st.mask, train, condition_idx, context
+        )
+        if identity.shape[-1] != self.channels:
+            identity = nn.Dense(self.channels, use_bias=False, name="proj")(identity)
+            identity = norm(features=self.channels, name="proj_bn")(
+                identity, st.mask, train, condition_idx, context
+            )
+        out = nn.relu(h + identity)
+        return st.replace(features=jnp.where(st.mask[:, None], out, 0.0))
+
+
+@MODELS.register_module(name="SpUNet-v1m3")
+class SpUNetPDNorm(nn.Module):
+    in_channels: int = 6
+    num_classes: int = 0
+    base_channels: int = 32
+    channels: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    cls_mode: bool = False
+    conditions: Tuple[str, ...] = ("ScanNet", "S3DIS", "Structured3D")
+    zero_init: bool = False  # accepted for config parity
+    norm_decouple: bool = True
+    norm_adaptive: bool = True
+    norm_affine: bool = True
+    context_channels: int = 256
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.01
+    capacities: Optional[Sequence[int]] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        st: SparseTensor,
+        train: bool = True,
+        condition: str = None,
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        condition_idx = (
+            self.conditions.index(condition) if condition in self.conditions else 0
+        )
+        num_stages = len(self.layers) // 2
+        caps = tuple(self.capacities) if self.capacities is not None else (
+            capacity_schedule(st.capacity, num_stages)
+        )
+        norm = partial(
+            PDBatchNorm,
+            conditions=self.conditions,
+            decouple=self.norm_decouple,
+            adaptive=self.norm_adaptive,
+            context_channels=self.context_channels,
+            eps=self.bn_eps,
+            momentum=self.bn_momentum,
+        )
+        block = partial(
+            PDBasicBlock,
+            conditions=self.conditions,
+            decouple=self.norm_decouple,
+            adaptive=self.norm_adaptive,
+            context_channels=self.context_channels,
+            eps=self.bn_eps,
+            momentum=self.bn_momentum,
+            compute_dtype=self.compute_dtype,
+        )
+
+        rb_stem = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
+        x = SubMConv(self.base_channels, 5, compute_dtype=self.compute_dtype,
+                     name="stem_conv")(st, rb_stem)
+        h = norm(features=self.base_channels, name="stem_bn")(
+            x.features, x.mask, train, condition_idx, context
+        )
+        x = x.replace(features=nn.relu(h))
+
+        skips = [x]
+        subm_rulebooks = [None] * (num_stages + 1)
+        for s in range(num_stages):
+            plan = build_strided_plan(
+                x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
+            )
+            x = StridedConv(self.channels[s], 2, 2, 0,
+                            compute_dtype=self.compute_dtype, name=f"down{s}")(x, plan)
+            h = norm(features=self.channels[s], name=f"down{s}_bn")(
+                x.features, x.mask, train, condition_idx, context
+            )
+            x = x.replace(features=nn.relu(h))
+            rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            subm_rulebooks[s + 1] = rb
+            for b in range(self.layers[s]):
+                x = block(channels=self.channels[s], name=f"enc{s}_block{b}")(
+                    x, rb, train, condition_idx, context
+                )
+            skips.append(x)
+
+        if self.cls_mode:
+            pooled = segment_mean(x.features, x.coords[:, 0], x.batch_size)
+            if self.num_classes > 0:
+                return nn.Dense(self.num_classes, name="final")(pooled)
+            return pooled
+
+        for s in range(num_stages):
+            dec_channels = self.channels[num_stages + s]
+            skip = skips[num_stages - 1 - s]
+            rb_inv = build_inverse_rulebook(
+                x.coords, x.spatial_shape, x.batch_size, skip.coords, 2, 2, 0
+            )
+            x = InverseConv(dec_channels, 2, 2, 0,
+                            compute_dtype=self.compute_dtype, name=f"up{s}")(
+                x, skip.coords, skip.spatial_shape, rb_inv
+            )
+            h = norm(features=dec_channels, name=f"up{s}_bn")(
+                x.features, x.mask, train, condition_idx, context
+            )
+            x = x.replace(features=nn.relu(h))
+            feats = jnp.concatenate([x.features, skip.features], axis=1)
+            x = x.replace(features=jnp.where(x.mask[:, None], feats, 0.0))
+            level = num_stages - 1 - s
+            rb = subm_rulebooks[level]
+            if rb is None:
+                rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+                subm_rulebooks[level] = rb
+            for b in range(self.layers[num_stages + s]):
+                x = block(channels=dec_channels, name=f"dec{s}_block{b}")(
+                    x, rb, train, condition_idx, context
+                )
+
+        if self.num_classes > 0:
+            logits = nn.Dense(self.num_classes, name="final")(x.features)
+            return jnp.where(x.mask[:, None], logits, 0.0)
+        return x.features

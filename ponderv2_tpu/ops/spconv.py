@@ -195,6 +195,7 @@ def apply_sparse_conv(
     weights: jnp.ndarray,
     out_mask: jnp.ndarray,
     precision_dtype: Optional[jnp.dtype] = None,
+    variant: str = "batched",
 ) -> jnp.ndarray:
     """Gather-GEMM-accumulate over kernel taps.
 
@@ -202,6 +203,12 @@ def apply_sparse_conv(
     weights: (K^3, Cin, Cout); out_mask: (N_out,) bool for output padding rows.
     ``precision_dtype`` (e.g. bfloat16) casts gather+matmul inputs; accumulation is
     always f32 via preferred_element_type.
+
+    variants:
+    - "batched": one fused (K^3·N) gather + one batched (K^3, N, Cin)x(K^3, Cin,
+      Cout) dot_general + tap-sum — a single large MXU op, the TPU-preferred form.
+    - "loop": static unroll of per-tap gather+matmul chains (lower peak memory;
+      XLA overlaps the independent chains).
     """
     k3, n_out = rulebook.shape
     cin, cout = weights.shape[1], weights.shape[2]
@@ -209,23 +216,31 @@ def apply_sparse_conv(
     # in f32, ask for true f32 MXU passes (TPU's default matmul precision is bf16)
     precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
-    def tap(carry, k):
-        idx = rulebook[k]
-        safe = jnp.clip(idx, 0, features.shape[0] - 1)
-        g = features[safe].astype(compute_dtype)
-        g = jnp.where((idx >= 0)[:, None], g, 0)
-        contrib = jnp.dot(
+    if variant == "batched":
+        safe = jnp.clip(rulebook, 0, features.shape[0] - 1)  # (K3, N)
+        g = features[safe].astype(compute_dtype)  # (K3, N, Cin)
+        g = jnp.where((rulebook >= 0)[..., None], g, 0)
+        out = jax.lax.dot_general(
             g,
-            weights[k].astype(compute_dtype),
+            weights.astype(compute_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )
-        return carry + contrib, None
-
-    out = jnp.zeros((n_out, cout), dtype=jnp.float32)
-    # static unroll over taps: lets XLA schedule independent gather+matmul chains
-    for k in range(k3):
-        out, _ = tap(out, k)
+        )  # (K3, N, Cout)
+        out = jnp.sum(out, axis=0)
+    else:
+        out = jnp.zeros((n_out, cout), dtype=jnp.float32)
+        for k in range(k3):
+            idx = rulebook[k]
+            safe = jnp.clip(idx, 0, features.shape[0] - 1)
+            g = features[safe].astype(compute_dtype)
+            g = jnp.where((idx >= 0)[:, None], g, 0)
+            out = out + jnp.dot(
+                g,
+                weights[k].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
     out = jnp.where(out_mask[:, None], out, 0.0)
     return out.astype(features.dtype)
 

@@ -72,16 +72,25 @@ def make_sharded_train_step(
     mesh: Mesh,
     axis_name: str = "data",
     loss_key: str = "loss",
+    rng_seed: int = 0,
 ):
     """Data-parallel train step over ``mesh``: state replicated, batch sharded."""
+
+    base_rng = jax.random.PRNGKey(rng_seed)
 
     def per_device_step(state, arrays):
         # arrays arrive as the local shard with a leading length-1 device axis
         arrays = {k: v[0] for k, v in arrays.items()}
-        input_dict = {**arrays, **static_ctx}
+        # distinct RNG stream per device and step
+        rng = jax.random.fold_in(
+            jax.random.fold_in(base_rng, state.step), jax.lax.axis_index(axis_name)
+        )
+        input_dict = {**arrays, **static_ctx, "rng": rng}
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            if state.constants:
+                variables["constants"] = state.constants
             out, mutated = model.apply(
                 variables, input_dict, train=True, mutable=["batch_stats"]
             )

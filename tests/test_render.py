@@ -1,0 +1,137 @@
+"""Render stack unit tests: compositing math, colliders, samplers, NeuS model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ponderv2_tpu.models.ponder.render.rays import (
+    get_weights_from_alphas,
+    get_weights_from_densities,
+)
+from ponderv2_tpu.models.ponder.render.colliders import AABBBoxCollider
+from ponderv2_tpu.models.ponder.render.samplers import (
+    NeuSSampler,
+    PDFSampler,
+    UniformSampler,
+)
+
+
+class TestWeights:
+    def test_alpha_compositing_sums(self, rng):
+        alphas = jnp.asarray(rng.rand(4, 16).astype(np.float32))
+        w, trans = get_weights_from_alphas(alphas)
+        w = np.asarray(w)
+        assert (w >= 0).all() and (w.sum(-1) <= 1.0 + 1e-5).all()
+        # opaque first sample takes everything
+        a = jnp.zeros((1, 5)).at[0, 0].set(1.0)
+        w2, _ = get_weights_from_alphas(a)
+        np.testing.assert_allclose(np.asarray(w2)[0], [1, 0, 0, 0, 0], atol=1e-6)
+
+    def test_density_weights_match_quadrature(self):
+        dens = jnp.asarray([[10.0, 10.0, 10.0]])
+        starts = jnp.asarray([[0.0, 0.1, 0.2]])
+        ends = jnp.asarray([[0.1, 0.2, 0.3]])
+        w, _ = get_weights_from_densities(dens, starts, ends)
+        alpha = 1 - np.exp(-1.0)
+        expect = [alpha, (1 - alpha) * alpha, (1 - alpha) ** 2 * alpha]
+        np.testing.assert_allclose(np.asarray(w)[0], expect, rtol=1e-5)
+
+
+class TestCollider:
+    def test_aabb_hits(self):
+        collider = AABBBoxCollider(near_plane=0.01)
+        o = jnp.asarray([[-1.0, 0.5, 0.5], [0.5, 0.5, 0.5]])
+        d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        nears, fars = collider(o, d)
+        np.testing.assert_allclose(np.asarray(nears), [1.0, 0.01], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fars), [2.0, 0.5], atol=1e-5)
+
+
+class TestSamplers:
+    def test_uniform_bins_cover_near_far(self):
+        s = UniformSampler(8, train_stratified=False)
+        nears = jnp.asarray([[0.5]])
+        fars = jnp.asarray([[2.5]])
+        starts, ends = s(nears, fars)
+        st, en = np.asarray(starts)[0, 0], np.asarray(ends)[0, 0]
+        assert st[0] == pytest.approx(0.5) and en[-1] == pytest.approx(2.5)
+        np.testing.assert_allclose(st[1:], en[:-1], rtol=1e-6)  # contiguous
+
+    def test_pdf_concentrates_samples(self, rng):
+        starts = jnp.broadcast_to(jnp.linspace(0, 0.9, 10), (1, 1, 10))
+        ends = starts + 0.1
+        weights = jnp.zeros((1, 1, 10)).at[0, 0, 5].set(1.0)  # peak at [0.5, 0.6]
+        s = PDFSampler(8, train_stratified=False, histogram_padding=0.0001)
+        new_starts, _ = s(starts, ends, weights)
+        mid = np.asarray(new_starts)[0, 0]
+        assert (np.abs(mid - 0.55) < 0.12).mean() > 0.7
+
+    def test_neus_sampler_total_and_sorted(self, rng):
+        sampler = NeuSSampler(num_samples=16, num_samples_importance=8,
+                              num_upsample_steps=1, train_stratified=False)
+        nears = jnp.asarray([[0.1, 0.2]])
+        fars = jnp.asarray([[1.1, 1.2]])
+        origins = jnp.zeros((1, 2, 3))
+        dirs = jnp.asarray([[[0, 0, 1.0], [0, 1.0, 0]]])
+
+        def sdf_fn(pos):  # plane z = 0.6
+            return pos[..., 2] - 0.6
+
+        starts, ends = sampler(nears, fars, sdf_fn, origins, dirs)
+        st = np.asarray(starts)
+        assert st.shape == (1, 2, 24)
+        assert (np.diff(st[0, 0]) >= -1e-6).all()  # sorted
+        assert st[0, 0, 0] >= 0.1 - 1e-6 and st[0, 0, -1] <= 1.2 + 1e-6
+
+
+class TestNeuSModel:
+    def test_render_and_losses(self, rng):
+        from ponderv2_tpu.models.ponder.render.surface_models import NeuSModel
+
+        model = NeuSModel(
+            field=dict(hidden_dim=32, num_layers=2, geo_feat_dim=8,
+                       semantic_dim=16, share_volume=False),
+            collider=dict(type="AABBBoxCollider", near_plane=0.05),
+            sampler=dict(type="NeuSSampler", num_samples=12,
+                         num_samples_importance=4, num_upsample_steps=1),
+            loss=dict(sensor_depth_truncation=0.05,
+                      weights=dict(rgb=10.0, depth=1.0, semantic=0.1,
+                                   eikonal=0.01, free_space=1.0, sdf=10.0)),
+        )
+        B, R = 2, 8
+        volume = jnp.asarray(rng.randn(B, 16, 8, 8, 8).astype(np.float32))
+        origins = jnp.asarray(rng.rand(B, R, 3).astype(np.float32) * 0.2)
+        dirs = rng.randn(B, R, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs = jnp.asarray(dirs)
+
+        variables = model.init(jax.random.PRNGKey(0), volume, origins, dirs,
+                               train=False)
+        out = model.apply(variables, volume, origins, dirs, train=False)
+        assert out["rgb"].shape == (B, R, 3)
+        assert out["depth"].shape == (B, R)
+        assert out["semantic"].shape == (B, R, 16)
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+
+        targets = dict(
+            rgb=jnp.asarray(rng.rand(B, R, 3).astype(np.float32)),
+            depth=jnp.asarray(rng.rand(B, R).astype(np.float32) * 0.5 + 0.2),
+            semantic=jnp.asarray(rng.randint(0, 4, (B, R))),
+            ray_mask=jnp.ones((B, R), bool),
+        )
+        emb = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+
+        def loss_fn(params):
+            o = model.apply({"params": params}, volume, origins, dirs, train=True,
+                            rng=jax.random.PRNGKey(1))
+            losses = model.apply(
+                {"params": params}, o, targets, emb,
+                method=NeuSModel.get_loss,
+            )
+            return losses["render_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        gsum = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+        assert gsum > 0
