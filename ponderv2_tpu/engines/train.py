@@ -191,10 +191,14 @@ class Trainer(TrainerBase):
         template = next(iter(self.train_loader))
         arrays, _ = split_batch(template)
         self.static_ctx = self.build_static_ctx()
-        variables = self.model.init(
+        init_fn = jax.jit(
+            lambda rng, arr: self.model.init(
+                rng, {**arr, **self.static_ctx}, train=False
+            )
+        )
+        variables = init_fn(
             jax.random.PRNGKey(cfg.get("seed", 0)),
-            {**{k: jnp.asarray(v) for k, v in arrays.items()}, **self.static_ctx},
-            train=False,
+            {k: jnp.asarray(v) for k, v in arrays.items()},
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .builder import MODELS, build_model
 from .losses.builder import build_criteria
-from ..ops.sparse import make_sparse_tensor
+from ..ops.sparse import make_sparse_tensor, sort_by_key
 from ..ops.scatter import segment_max, segment_mean
 
 
@@ -42,6 +42,7 @@ def batch_to_sparse_tensor(input_dict: Dict[str, Any]):
 class DefaultSegmentor(nn.Module):
     backbone: Any = None
     criteria: Any = None
+    sort_input: bool = True  # spatial-sort rows for gather locality
 
     def setup(self):
         self.backbone_net = build_model(dict(self.backbone))
@@ -49,7 +50,11 @@ class DefaultSegmentor(nn.Module):
 
     def __call__(self, input_dict: Dict[str, Any], train: bool = True) -> Dict:
         st = batch_to_sparse_tensor(input_dict)
-        seg_logits = self.backbone_net(st, train=train)
+        if self.sort_input:
+            st_sorted, inverse = sort_by_key(st)
+            seg_logits = self.backbone_net(st_sorted, train=train)[inverse]
+        else:
+            seg_logits = self.backbone_net(st, train=train)
         out: Dict[str, Any] = {"seg_logits": seg_logits}
         if "segment" in input_dict:
             out["loss"] = self._criteria(seg_logits, input_dict["segment"], st.mask)

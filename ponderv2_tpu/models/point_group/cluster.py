@@ -11,9 +11,45 @@ two points connect iff within ``radius`` AND sharing a semantic class.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
 
 import numpy as np
+
+_NATIVE: Optional[ctypes.CDLL] = None
+_NATIVE_TRIED = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load (building on first use if needed) the C++ clustering library."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+    so_path = os.path.abspath(os.path.join(csrc, "libponder_cluster.so"))
+    if not os.path.isfile(so_path):
+        try:
+            subprocess.run(
+                ["bash", os.path.join(os.path.abspath(csrc), "build.sh")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        lib.ponder_bfs_cluster.restype = ctypes.c_int32
+        lib.ponder_bfs_cluster.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = None
+    return _NATIVE
 
 
 class _UnionFind:
@@ -43,12 +79,28 @@ def bfs_cluster(
     """Cluster ``coords`` (M, 3) with per-point ``classes`` (M,) into instances.
 
     Returns (instance_ids (M,), num_instances); unclustered points get -1.
+    Uses the native C++ grid-hash union-find when available (built from
+    ponderv2_tpu/csrc/cluster.cpp); falls back to scipy KDTree + python UF.
     """
-    from scipy.spatial import cKDTree
-
     m = len(coords)
     if m == 0:
         return np.full(0, -1, np.int64), 0
+
+    lib = _load_native()
+    if lib is not None:
+        c = np.ascontiguousarray(coords, np.float32)
+        cl = np.ascontiguousarray(classes, np.int32)
+        out = np.empty(m, np.int32)
+        n_clusters = lib.ponder_bfs_cluster(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(m), ctypes.c_float(radius),
+            ctypes.c_int32(min_points),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out.astype(np.int64), int(n_clusters)
+
+    from scipy.spatial import cKDTree
     uf = _UnionFind(m)
     tree = cKDTree(coords)
     for i, j in tree.query_pairs(radius):

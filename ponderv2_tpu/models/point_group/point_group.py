@@ -45,7 +45,10 @@ class PointGroup(nn.Module):
 
     def __call__(self, input_dict: Dict[str, Any], train: bool = True) -> Dict:
         st = batch_to_sparse_tensor(input_dict)
-        feat = self.backbone_net(st, train=train)
+        from ...ops.sparse import sort_by_key
+
+        st_sorted, inverse = sort_by_key(st)
+        feat = self.backbone_net(st_sorted, train=train)[inverse]
         bias_pred = self.bias_head(feat)  # (N, 3)
         logits = self.seg_head(feat)  # (N, K)
         mask = st.mask

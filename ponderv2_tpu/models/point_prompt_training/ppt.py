@@ -68,9 +68,12 @@ class PointPromptTraining(nn.Module):
         context = self.context_embedding(jnp.asarray(ci))
 
         st = batch_to_sparse_tensor(input_dict)
+        from ...ops.sparse import sort_by_key
+
+        st_sorted, inverse = sort_by_key(st)
         feat = self.backbone_net(
-            st, train=train, condition=cond, context=context
-        )
+            st_sorted, train=train, condition=cond, context=context
+        )[inverse]
         if self.backbone_mode:
             return {"feat": feat}
 

@@ -249,7 +249,10 @@ class PonderIndoor(nn.Module):
                 st.features, input_dict["grid_coord"], input_dict["batch"], rng_mask
             )
             st = st.replace_features(feat_in)
-        sparse_feat = self.backbone_net(st, train=train)  # (N, C)
+        from ...ops.sparse import sort_by_key
+
+        st_sorted, inverse = sort_by_key(st)
+        sparse_feat = self.backbone_net(st_sorted, train=train)[inverse]  # (N, C)
 
         coord = input_dict["coord"].astype(jnp.float32)
         batch = input_dict["batch"]

@@ -91,10 +91,14 @@ class SpUNet(nn.Module):
     bn_momentum: float = 0.01
     capacities: Optional[Sequence[int]] = None  # per-level budgets; default derived
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True  # rematerialize blocks: trade FLOPs for HBM (jax.checkpoint)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> jnp.ndarray:
         num_stages = len(self.layers) // 2
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(3,)) if self.remat else BasicBlock
+        )
         caps = tuple(self.capacities) if self.capacities is not None else (
             capacity_schedule(st.capacity, num_stages)
         )
@@ -121,8 +125,8 @@ class SpUNet(nn.Module):
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
             subm_rulebooks[s + 1] = rb
             for b in range(self.layers[s]):
-                x = BasicBlock(self.channels[s], self.bn_eps, self.bn_momentum,
-                               self.compute_dtype, name=f"enc{s}_block{b}")(
+                x = block_cls(self.channels[s], self.bn_eps, self.bn_momentum,
+                              self.compute_dtype, name=f"enc{s}_block{b}")(
                     x, rb, train
                 )
             skips.append(x)
@@ -155,8 +159,8 @@ class SpUNet(nn.Module):
                 rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
                 subm_rulebooks[level] = rb
             for b in range(self.layers[num_stages + s]):
-                x = BasicBlock(dec_channels, self.bn_eps, self.bn_momentum,
-                               self.compute_dtype, name=f"dec{s}_block{b}")(
+                x = block_cls(dec_channels, self.bn_eps, self.bn_momentum,
+                              self.compute_dtype, name=f"dec{s}_block{b}")(
                     x, rb, train
                 )
 

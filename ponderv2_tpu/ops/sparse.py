@@ -178,3 +178,31 @@ def batch2offset(batch: jnp.ndarray, batch_size: int) -> jnp.ndarray:
         jnp.ones_like(batch, dtype=jnp.int32), batch, batch_size
     )
     return jnp.cumsum(counts)
+
+
+def sort_by_key(st: SparseTensor) -> Tuple[SparseTensor, jnp.ndarray]:
+    """Sort rows by spatial key (padding last). Returns (sorted_st, inverse_perm).
+
+    Rulebook gathers over key-sorted rows are near-monotonic (z-neighbors are
+    adjacent, y-neighbors a fixed stride away), which XLA's TPU gather handles
+    far better than shuffled rows. ``out_unsorted = out_sorted[inverse_perm]``
+    restores the original row order for loss/label alignment.
+    """
+    from . import hashing
+
+    if hashing.key_fits_int32(st.spatial_shape, st.batch_size):
+        keys = hashing.ravel_single(st.coords, st.spatial_shape)
+        perm = jnp.argsort(keys)
+    else:
+        hi, lo = hashing.ravel_pair(st.coords, st.spatial_shape)
+        perm = jnp.lexsort((lo, hi))
+    inverse = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype)
+    )
+    sorted_st = SparseTensor(
+        features=st.features[perm],
+        coords=st.coords[perm],
+        spatial_shape=st.spatial_shape,
+        batch_size=st.batch_size,
+    )
+    return sorted_st, inverse

@@ -195,7 +195,7 @@ def apply_sparse_conv(
     weights: jnp.ndarray,
     out_mask: jnp.ndarray,
     precision_dtype: Optional[jnp.dtype] = None,
-    variant: str = "batched",
+    variant: str = "loop",
 ) -> jnp.ndarray:
     """Gather-GEMM-accumulate over kernel taps.
 
@@ -218,7 +218,8 @@ def apply_sparse_conv(
 
     if variant == "batched":
         safe = jnp.clip(rulebook, 0, features.shape[0] - 1)  # (K3, N)
-        g = features[safe].astype(compute_dtype)  # (K3, N, Cin)
+        # cast BEFORE the gather: halves HBM gather traffic in bf16
+        g = features.astype(compute_dtype)[safe]  # (K3, N, Cin)
         g = jnp.where((rulebook >= 0)[..., None], g, 0)
         out = jax.lax.dot_general(
             g,
