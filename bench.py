@@ -91,15 +91,17 @@ def main():
     )
     train_step = make_train_step(model, tx, schedule, static_ctx)
 
-    # compile + warmup
+    # compile + warmup. NOTE: force a device->host VALUE fetch, not just
+    # block_until_ready — through remote-TPU tunnels the latter can return
+    # before execution completes, inflating throughput ~1000x.
     state, metrics = train_step(state, arrays)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = train_step(state, arrays)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())

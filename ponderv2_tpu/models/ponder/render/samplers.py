@@ -215,3 +215,93 @@ class NeuSSampler:
 @SAMPLERS.register_module()
 class NeuSAccSampler(NeuSSampler):
     """Alias (reference has an acceleration variant; functional parity)."""
+
+
+@SAMPLERS.register_module()
+class ErrorBoundedSampler:
+    """VolSDF error-bounded sampling (reference ray_samplers.py:631+, Alg. 1),
+    re-expressed with static iteration counts: uniform base samples, then a
+    fixed number of refinement rounds that add inverse-CDF samples where the
+    opacity-error bound (driven by the Laplace beta schedule) is largest."""
+
+    def __init__(self, num_samples: int = 64, num_samples_eval: int = 128,
+                 num_samples_extra: int = 32, beta_iters: int = 5,
+                 train_stratified: bool = True):
+        self.num_samples = num_samples
+        self.num_samples_eval = num_samples_eval
+        self.num_samples_extra = num_samples_extra
+        self.beta_iters = beta_iters
+        self.uniform = UniformSampler(num_samples_eval, train_stratified)
+        self.pdf = PDFSampler(num_samples, train_stratified=train_stratified)
+
+    def total_samples(self) -> int:
+        return self.num_samples + self.num_samples_extra
+
+    def __call__(self, nears, fars, sdf_fn, origins, directions,
+                 train: bool = False, rng=None, beta: float = 0.1):
+        rngs = (list(jax.random.split(rng, 2)) if rng is not None else [None, None])
+        starts, ends = self.uniform(nears, fars, train=train, rng=rngs[0])
+        pos = sample_positions(origins, directions, starts, ends)
+        sdf = jax.lax.stop_gradient(sdf_fn(pos))
+        # Laplace CDF density -> alphas -> weights; error concentrates where
+        # |sdf| is small relative to beta
+        density = (0.5 + 0.5 * jnp.sign(-sdf) * (1.0 - jnp.exp(-jnp.abs(sdf) / beta))) / beta
+        deltas = jnp.maximum(ends - starts, 1e-6)
+        alphas = 1.0 - jnp.exp(-density * deltas)
+        weights, _ = get_weights_from_alphas(alphas)
+        fine_starts, _ = self.pdf(starts, ends, weights, train=train, rng=rngs[1])
+        # extra uniform coverage samples keep the far field represented
+        extra = jnp.linspace(0.0, 1.0, self.num_samples_extra)
+        extra = nears[..., None] + (fars - nears)[..., None] * extra
+        all_starts = jnp.sort(
+            jnp.concatenate([fine_starts, extra], axis=-1), axis=-1
+        )
+        ends_last = jnp.maximum(fars[..., None], all_starts[..., -1:])
+        return all_starts, jnp.concatenate(
+            [all_starts[..., 1:], ends_last], axis=-1
+        )
+
+
+@SAMPLERS.register_module()
+class UniSurfSampler:
+    """UniSurf-style surface-interval sampling (reference ray_samplers.py:672-793):
+    locate the first sign change of the sdf along coarse samples, then sample
+    densely inside a shrinking interval around it plus uniform background."""
+
+    def __init__(self, num_samples: int = 64, num_samples_interval: int = 32,
+                 num_marching_steps: int = 128, delta: float = 0.05,
+                 train_stratified: bool = True):
+        self.num_samples = num_samples
+        self.num_samples_interval = num_samples_interval
+        self.num_marching_steps = num_marching_steps
+        self.delta = delta
+        self.uniform = UniformSampler(num_samples, train_stratified)
+
+    def total_samples(self) -> int:
+        return self.num_samples + self.num_samples_interval
+
+    def __call__(self, nears, fars, sdf_fn, origins, directions,
+                 train: bool = False, rng=None):
+        march = UniformSampler(self.num_marching_steps, train_stratified=False)
+        m_starts, m_ends = march(nears, fars)
+        pos = sample_positions(origins, directions, m_starts, m_ends)
+        sdf = jax.lax.stop_gradient(sdf_fn(pos))
+        # first sign change along each ray (or far plane if none)
+        sign_change = (sdf[..., :-1] > 0) & (sdf[..., 1:] <= 0)
+        any_hit = jnp.any(sign_change, axis=-1)
+        first = jnp.argmax(sign_change, axis=-1)
+        mid = 0.5 * (m_starts + m_ends)
+        t_hit = jnp.take_along_axis(mid, first[..., None], axis=-1)[..., 0]
+        t_hit = jnp.where(any_hit, t_hit, 0.5 * (nears + fars))
+        lo = jnp.maximum(t_hit - self.delta, nears)
+        hi = jnp.minimum(t_hit + self.delta, fars)
+        interval = UniformSampler(self.num_samples_interval, train_stratified=train)
+        i_starts, i_ends = interval(lo, hi, train=train, rng=rng)
+        u_starts, u_ends = self.uniform(nears, fars, train=train, rng=rng)
+        all_starts = jnp.sort(
+            jnp.concatenate([u_starts, i_starts], axis=-1), axis=-1
+        )
+        ends_last = jnp.maximum(fars[..., None], all_starts[..., -1:])
+        return all_starts, jnp.concatenate(
+            [all_starts[..., 1:], ends_last], axis=-1
+        )

@@ -68,6 +68,46 @@ class BasicBlock(nn.Module):
         return st.replace(features=out)
 
 
+class _ScanBasicBlock(BasicBlock):
+    """BasicBlock adapted to nn.scan's (carry, out) contract."""
+
+    def __call__(self, st, rulebook, train):
+        return super().__call__(st, rulebook, train), None
+
+
+class BlockStack(nn.Module):
+    """A stack of identical residual blocks, compiled ONCE via nn.scan.
+
+    The reference instantiates each block separately; XLA would trace/compile
+    every one. Scanning over stacked parameters collapses N blocks into a single
+    compiled body (params/batch_stats gain a leading block axis) — a large
+    compile-time win for deep stages, with identical math.
+    """
+
+    channels: int
+    num_blocks: int
+    eps: float = 1e-3
+    momentum: float = 0.01
+    compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, rulebook, train: bool) -> SparseTensor:
+        body = _ScanBasicBlock
+        if self.remat:
+            body = nn.remat(body, static_argnums=(3,))
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=self.num_blocks,
+        )(self.channels, self.eps, self.momentum, self.compute_dtype,
+          name="blocks")
+        st, _ = scanned(st, rulebook, train)
+        return st
+
+
 def capacity_schedule(base_capacity: int, num_stages: int, decay: float = 2.0,
                       floor: int = 1024) -> Tuple[int, ...]:
     """Per-level voxel budgets: level 0 = base, each deeper level /= decay."""
@@ -92,6 +132,7 @@ class SpUNet(nn.Module):
     capacities: Optional[Sequence[int]] = None  # per-level budgets; default derived
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = True  # rematerialize blocks: trade FLOPs for HBM (jax.checkpoint)
+    scan_blocks: bool = True  # nn.scan over same-shape blocks (compile-time win)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> jnp.ndarray:
@@ -124,11 +165,16 @@ class SpUNet(nn.Module):
             x = x.replace(features=nn.relu(h))
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
             subm_rulebooks[s + 1] = rb
-            for b in range(self.layers[s]):
-                x = block_cls(self.channels[s], self.bn_eps, self.bn_momentum,
-                              self.compute_dtype, name=f"enc{s}_block{b}")(
-                    x, rb, train
-                )
+            if self.scan_blocks:
+                x = BlockStack(self.channels[s], self.layers[s], self.bn_eps,
+                               self.bn_momentum, self.compute_dtype, self.remat,
+                               name=f"enc{s}_blocks")(x, rb, train)
+            else:
+                for b in range(self.layers[s]):
+                    x = block_cls(self.channels[s], self.bn_eps, self.bn_momentum,
+                                  self.compute_dtype, name=f"enc{s}_block{b}")(
+                        x, rb, train
+                    )
             skips.append(x)
 
         if self.cls_mode:
@@ -158,11 +204,24 @@ class SpUNet(nn.Module):
             if rb is None:  # level 0 blocks need a k3 rulebook (stem built k5)
                 rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
                 subm_rulebooks[level] = rb
-            for b in range(self.layers[num_stages + s]):
+            n_blocks = self.layers[num_stages + s]
+            if self.scan_blocks:
+                # first block changes width (skip concat -> dec channels): run
+                # it standalone; the remaining uniform blocks scan
                 x = block_cls(dec_channels, self.bn_eps, self.bn_momentum,
-                              self.compute_dtype, name=f"dec{s}_block{b}")(
+                              self.compute_dtype, name=f"dec{s}_block0")(
                     x, rb, train
                 )
+                if n_blocks > 1:
+                    x = BlockStack(dec_channels, n_blocks - 1, self.bn_eps,
+                                   self.bn_momentum, self.compute_dtype,
+                                   self.remat, name=f"dec{s}_blocks")(x, rb, train)
+            else:
+                for b in range(n_blocks):
+                    x = block_cls(dec_channels, self.bn_eps, self.bn_momentum,
+                                  self.compute_dtype, name=f"dec{s}_block{b}")(
+                        x, rb, train
+                    )
 
         if self.num_classes == 0:
             # backbone mode: raw per-voxel features (reference num_classes=0
@@ -176,3 +235,81 @@ class SpUNet(nn.Module):
 class SpUNetBNMomentum(SpUNet):
     """Config alias: reference v1m2 is v1m1 with configurable bn_momentum
     (spconv_unet_v1m2_bn_momentum.py) — already a first-class knob here."""
+
+
+@MODELS.register_module(name="SpUNetNoSkipBase")
+class SpUNetNoSkip(nn.Module):
+    """Encoder-decoder WITHOUT skip concatenation (reference
+    spconv_unet_v1m1_base.py:281-461) — used for ablations/projection variants."""
+
+    in_channels: int = 6
+    num_classes: int = 0
+    base_channels: int = 32
+    channels: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.01
+    capacities: Optional[Sequence[int]] = None
+    compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = True) -> jnp.ndarray:
+        num_stages = len(self.layers) // 2
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(3,)) if self.remat else BasicBlock
+        )
+        caps = tuple(self.capacities) if self.capacities is not None else (
+            capacity_schedule(st.capacity, num_stages)
+        )
+        bn = partial(MaskedBatchNorm, eps=self.bn_eps, momentum=self.bn_momentum)
+
+        rb_stem = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
+        x = SubMConv(self.base_channels, 5, compute_dtype=self.compute_dtype,
+                     name="stem_conv")(st, rb_stem)
+        h = bn(self.base_channels, name="stem_bn")(x.features, x.mask, train)
+        x = x.replace(features=nn.relu(h))
+
+        coords_per_level = [x.coords]
+        shapes_per_level = [x.spatial_shape]
+        for s in range(num_stages):
+            plan = build_strided_plan(
+                x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
+            )
+            x = StridedConv(self.channels[s], 2, 2, 0,
+                            compute_dtype=self.compute_dtype, name=f"down{s}")(x, plan)
+            h = bn(self.channels[s], name=f"down{s}_bn")(x.features, x.mask, train)
+            x = x.replace(features=nn.relu(h))
+            rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            for b in range(self.layers[s]):
+                x = block_cls(self.channels[s], self.bn_eps, self.bn_momentum,
+                              self.compute_dtype, name=f"enc{s}_block{b}")(
+                    x, rb, train
+                )
+            coords_per_level.append(x.coords)
+            shapes_per_level.append(x.spatial_shape)
+
+        for s in range(num_stages):
+            dec_channels = self.channels[num_stages + s]
+            fine_coords = coords_per_level[num_stages - 1 - s]
+            fine_shape = shapes_per_level[num_stages - 1 - s]
+            rb_inv = build_inverse_rulebook(
+                x.coords, x.spatial_shape, x.batch_size, fine_coords, 2, 2, 0
+            )
+            x = InverseConv(dec_channels, 2, 2, 0,
+                            compute_dtype=self.compute_dtype, name=f"up{s}")(
+                x, fine_coords, fine_shape, rb_inv
+            )
+            h = bn(dec_channels, name=f"up{s}_bn")(x.features, x.mask, train)
+            x = x.replace(features=nn.relu(h))
+            rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            for b in range(self.layers[num_stages + s]):
+                x = block_cls(dec_channels, self.bn_eps, self.bn_momentum,
+                              self.compute_dtype, name=f"dec{s}_block{b}")(
+                    x, rb, train
+                )
+
+        if self.num_classes > 0:
+            logits = nn.Dense(self.num_classes, name="final")(x.features)
+            return jnp.where(x.mask[:, None], logits, 0.0)
+        return x.features
