@@ -86,7 +86,10 @@ def make_train_step(
         for k in metric_keys:
             if k in out:
                 metrics[k] = out[k]
-        new_state = TrainState(
+        # NOTE: state.replace keeps `constants` (and the pytree structure!)
+        # intact — rebuilding TrainState without it would drop the frozen
+        # collections and retrace/recompile on the next call.
+        new_state = state.replace(
             step=state.step + 1,
             params=params,
             batch_stats=batch_stats,

@@ -89,6 +89,7 @@ class SpUNetPDNorm(nn.Module):
     bn_momentum: float = 0.01
     capacities: Optional[Sequence[int]] = None
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -114,8 +115,12 @@ class SpUNetPDNorm(nn.Module):
             eps=self.bn_eps,
             momentum=self.bn_momentum,
         )
+        block_cls = (
+            nn.remat(PDBasicBlock, static_argnums=(3, 4))
+            if self.remat else PDBasicBlock
+        )
         block = partial(
-            PDBasicBlock,
+            block_cls,
             conditions=self.conditions,
             decouple=self.norm_decouple,
             adaptive=self.norm_adaptive,

@@ -111,7 +111,9 @@ def lookup(
     n = table.sorted_hi.shape[0]
     if table.single:
         q = ravel_single(coords, spatial_shape)
-        pos = jnp.searchsorted(table.sorted_hi, q)
+        # method="sort" (one fused sort over keys+queries) is ~9x faster on TPU
+        # than the default sequential binary-search scan (measured v5e)
+        pos = jnp.searchsorted(table.sorted_hi, q, method="sort")
         pos_c = jnp.clip(pos, 0, n - 1)
         found = (table.sorted_hi[pos_c] == q) & (q != INVALID_KEY) & (pos < n)
     else:

@@ -216,8 +216,12 @@ def apply_sparse_conv(
     # in f32, ask for true f32 MXU passes (TPU's default matmul precision is bf16)
     precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
+    # invalid taps gather the output row's own index (near-identity for sorted
+    # rows): keeps the gather stream local and avoids a row-0 hotspot
+    self_idx = jnp.arange(n_out, dtype=rulebook.dtype) % features.shape[0]
+
     if variant == "batched":
-        safe = jnp.clip(rulebook, 0, features.shape[0] - 1)  # (K3, N)
+        safe = jnp.where(rulebook >= 0, rulebook, self_idx[None, :])  # (K3, N)
         # cast BEFORE the gather: halves HBM gather traffic in bf16
         g = features.astype(compute_dtype)[safe]  # (K3, N, Cin)
         g = jnp.where((rulebook >= 0)[..., None], g, 0)
@@ -231,10 +235,11 @@ def apply_sparse_conv(
         out = jnp.sum(out, axis=0)
     else:
         out = jnp.zeros((n_out, cout), dtype=jnp.float32)
+        feats_c = features.astype(compute_dtype)
         for k in range(k3):
             idx = rulebook[k]
-            safe = jnp.clip(idx, 0, features.shape[0] - 1)
-            g = features[safe].astype(compute_dtype)
+            safe = jnp.where(idx >= 0, idx, self_idx)
+            g = feats_c[safe]
             g = jnp.where((idx >= 0)[:, None], g, 0)
             out = out + jnp.dot(
                 g,
