@@ -78,11 +78,13 @@ def build_subm_rulebook(
     k = _triple(kernel_size)
     pad = tuple((s - 1) // 2 for s in k)
     table = hashing.build_table(coords, spatial_shape, batch_size)
-    rows = []
-    for off in kernel_offsets(k):
-        q = _query_coords(coords, off, 1, pad)
-        rows.append(hashing.lookup(table, q, spatial_shape))
-    return jnp.stack(rows, axis=0)
+    # ONE batched lookup for all K^3 taps: a single fused sort beats K^3
+    # separate searchsorted launches
+    queries = jnp.concatenate(
+        [_query_coords(coords, off, 1, pad) for off in kernel_offsets(k)], axis=0
+    )
+    idx = hashing.lookup(table, queries, spatial_shape)
+    return idx.reshape(len(kernel_offsets(k)), coords.shape[0])
 
 
 class StridedPlan(NamedTuple):
@@ -118,10 +120,30 @@ def build_strided_plan(
     s = _triple(stride)
     p = _triple(padding)
     out_shape = downsample_shape(spatial_shape, k, s, p)
-
-    # candidate output coords: for input voxel v and tap d, out = (v + p - d) / s
-    cands = []
     b = coords[:, 0]
+
+    if k == s and p == (0, 0, 0):
+        # non-overlapping windows (e.g. the U-Net's k2s2 downsamples): every
+        # input hits exactly one output voxel -> dedup N candidates, not K^3*N
+        div = jnp.stack([coords[:, 1 + i] // s[i] for i in range(3)], axis=1)
+        cand_coords = jnp.where(
+            (b >= 0)[:, None], jnp.concatenate([b[:, None], div], axis=1), -1
+        )
+        out_coords, _, _ = unique_voxels(
+            cand_coords, out_shape, batch_size, out_capacity
+        )
+        in_table = hashing.build_table(coords, spatial_shape, batch_size)
+        queries = jnp.concatenate(
+            [_query_coords(out_coords, off, s, p) for off in kernel_offsets(k)],
+            axis=0,
+        )
+        idx = hashing.lookup(in_table, queries, spatial_shape)
+        rulebook = idx.reshape(len(kernel_offsets(k)), out_coords.shape[0])
+        return StridedPlan(out_coords, rulebook, out_shape)
+
+    # general case — candidate output coords: for input voxel v and tap d,
+    # out = (v + p - d) / s
+    cands = []
     for off in kernel_offsets(k):
         num = jnp.stack(
             [
