@@ -119,4 +119,10 @@ class MultiDatasetDataloader:
                             return
 
     def __len__(self):
-        return sum(len(self.loaders[0]) * r for r in [1]) * sum(self.ratios)
+        # each round-robin round yields ratio_i batches per dataset and advances
+        # the main dataset by ratio_0; the epoch ends when the main dataset's
+        # batches are exhausted
+        main_steps = len(self.loaders[0])
+        rounds = -(-main_steps // max(self.ratios[0], 1))
+        return min(rounds * sum(self.ratios),
+                   rounds * sum(self.ratios) - (rounds * self.ratios[0] - main_steps))

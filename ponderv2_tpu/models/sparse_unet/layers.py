@@ -15,6 +15,7 @@ from ...ops.spconv import (
     build_strided_plan,
     build_subm_rulebook,
     kernel_offsets,
+    subm_conv_symmetric,
 )
 
 
@@ -49,9 +50,9 @@ class SubMConv(nn.Module):
             rulebook = build_subm_rulebook(
                 st.coords, st.spatial_shape, st.batch_size, self.kernel_size
             )
-        out = apply_sparse_conv(
-            st.features, rulebook, w, st.mask, self.compute_dtype
-        )
+        # gather-only backward via the mirrored rulebook (subm symmetry)
+        dtype_token = jnp.zeros((0,), self.compute_dtype or st.features.dtype)
+        out = subm_conv_symmetric(st.features, rulebook, w, st.mask, dtype_token)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(st.mask[:, None], out + b, 0.0)

@@ -68,6 +68,48 @@ class BasicBlock(nn.Module):
         return st.replace(features=out)
 
 
+class ConvBNRelu(nn.Module):
+    """conv + masked BN + relu as one remat-able unit.
+
+    Rematting matters most at the stem: a k5 conv over (N, 6) inputs otherwise
+    saves 125 gathered per-tap activations for backward — and XLA lane-pads the
+    6-wide feature dim to 128, a 21x memory expansion (measured OOM at ScanNet
+    scale). Recomputing the gathers in backward is nearly free.
+    """
+
+    kind: str = "subm"  # subm | strided | inverse
+    channels: int = 32
+    kernel_size: int = 3
+    eps: float = 1e-3
+    momentum: float = 0.01
+    compute_dtype: Optional[jnp.dtype] = None
+    out_spatial_shape: Optional[Tuple[int, int, int]] = None  # strided/inverse
+    #   (kept as a STATIC attribute: shapes must not pass through remat args)
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, aux, train: bool) -> SparseTensor:
+        if self.kind == "subm":
+            x = SubMConv(self.channels, self.kernel_size,
+                         compute_dtype=self.compute_dtype, name="conv")(st, aux)
+        elif self.kind == "strided":
+            from ...ops.spconv import StridedPlan
+
+            out_coords, rb = aux
+            plan = StridedPlan(out_coords, rb, self.out_spatial_shape)
+            x = StridedConv(self.channels, 2, 2, 0,
+                            compute_dtype=self.compute_dtype, name="conv")(st, plan)
+        else:
+            fine_coords, rb = aux
+            x = InverseConv(self.channels, 2, 2, 0,
+                            compute_dtype=self.compute_dtype, name="conv")(
+                st, fine_coords, self.out_spatial_shape, rb
+            )
+        h = MaskedBatchNorm(self.channels, self.eps, self.momentum, name="bn")(
+            x.features, x.mask, train
+        )
+        return x.replace(features=nn.relu(h))
+
+
 class _ScanBasicBlock(BasicBlock):
     """BasicBlock adapted to nn.scan's (carry, out) contract."""
 
@@ -143,14 +185,16 @@ class SpUNet(nn.Module):
         caps = tuple(self.capacities) if self.capacities is not None else (
             capacity_schedule(st.capacity, num_stages)
         )
-        bn = partial(MaskedBatchNorm, eps=self.bn_eps, momentum=self.bn_momentum)
+        unit_cls = (
+            nn.remat(ConvBNRelu, static_argnums=(3,)) if self.remat else ConvBNRelu
+        )
+        unit = partial(unit_cls, eps=self.bn_eps, momentum=self.bn_momentum,
+                       compute_dtype=self.compute_dtype)
 
         # ---- stem: subm k5 (reference conv_input, indice_key="stem")
         rb_stem = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
-        x = SubMConv(self.base_channels, 5, compute_dtype=self.compute_dtype,
-                     name="stem_conv")(st, rb_stem)
-        h = bn(self.base_channels, name="stem_bn")(x.features, x.mask, train)
-        x = x.replace(features=nn.relu(h))
+        x = unit(kind="subm", channels=self.base_channels, kernel_size=5,
+                 name="stem")(st, rb_stem, train)
 
         # ---- encoder
         skips = [x]
@@ -159,10 +203,9 @@ class SpUNet(nn.Module):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
-            x = StridedConv(self.channels[s], 2, 2, 0,
-                            compute_dtype=self.compute_dtype, name=f"down{s}")(x, plan)
-            h = bn(self.channels[s], name=f"down{s}_bn")(x.features, x.mask, train)
-            x = x.replace(features=nn.relu(h))
+            x = unit(kind="strided", channels=self.channels[s],
+                     out_spatial_shape=plan.spatial_shape,
+                     name=f"down{s}")(x, (plan.out_coords, plan.rulebook), train)
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
             subm_rulebooks[s + 1] = rb
             if self.scan_blocks:
@@ -189,12 +232,10 @@ class SpUNet(nn.Module):
             rb_inv = build_inverse_rulebook(
                 x.coords, x.spatial_shape, x.batch_size, skip.coords, 2, 2, 0
             )
-            x = InverseConv(dec_channels, 2, 2, 0,
-                            compute_dtype=self.compute_dtype, name=f"up{s}")(
-                x, skip.coords, skip.spatial_shape, rb_inv
+            x = unit(kind="inverse", channels=dec_channels,
+                     out_spatial_shape=skip.spatial_shape, name=f"up{s}")(
+                x, (skip.coords, rb_inv), train
             )
-            h = bn(dec_channels, name=f"up{s}_bn")(x.features, x.mask, train)
-            x = x.replace(features=nn.relu(h))
             # skip concat (reference: replace_feature(torch.cat(...)))
             feats = jnp.concatenate([x.features, skip.features], axis=1)
             feats = jnp.where(x.mask[:, None], feats, 0.0)

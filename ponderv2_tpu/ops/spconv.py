@@ -340,3 +340,74 @@ def inverse_conv(
     mask = fine_coords[:, 0] >= 0
     out = apply_sparse_conv(st.features, rulebook, weights, mask, precision_dtype)
     return make_sparse_tensor(out, fine_coords, fine_spatial_shape, st.batch_size)
+
+
+# --------------------------------------------------- symmetric (subm) custom VJP
+
+
+def _subm_fwd_impl(features, rulebook, weights, out_mask, compute_dtype):
+    return apply_sparse_conv(
+        features, rulebook, weights, out_mask, compute_dtype, variant="loop"
+    )
+
+
+@jax.custom_vjp
+def subm_conv_symmetric(features, rulebook, weights, out_mask, dtype_token):
+    """Submanifold conv with a gather-only backward.
+
+    For submanifold convs (in/out coordinate sets identical) the adjoint of tap
+    k's gather is exactly tap (K^3-1-k)'s gather — the mirrored offset. XLA's
+    autodiff would emit scatter-adds (slow on TPU); this custom VJP computes
+    dL/dx with mirrored-rulebook *gathers* instead. ``dtype_token`` is a
+    zero-size array whose dtype selects the compute precision (bf16/f32) while
+    keeping the function signature fully traceable.
+    """
+    return _subm_fwd_impl(features, rulebook, weights, out_mask, dtype_token.dtype)
+
+
+def _subm_sym_fwd(features, rulebook, weights, out_mask, dtype_token):
+    out = _subm_fwd_impl(features, rulebook, weights, out_mask, dtype_token.dtype)
+    return out, (features, rulebook, weights, out_mask, dtype_token)
+
+
+def _subm_sym_bwd(res, g):
+    features, rulebook, weights, out_mask, dtype_token = res
+    compute_dtype = dtype_token.dtype
+    k3 = rulebook.shape[0]
+    n = features.shape[0]
+    precision = (
+        None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
+    g = jnp.where(out_mask[:, None], g, 0.0)
+    gc = g.astype(compute_dtype)
+    fc = features.astype(compute_dtype)
+    self_idx = jnp.arange(n, dtype=rulebook.dtype)
+
+    dx = jnp.zeros((n, features.shape[1]), jnp.float32)
+    dw_list = []
+    for k in range(k3):
+        # dW[k] = gather_k(x)^T @ g
+        idx = rulebook[k]
+        safe = jnp.where(idx >= 0, idx, self_idx)
+        xg = jnp.where((idx >= 0)[:, None], fc[safe], 0)
+        dw_list.append(
+            jax.lax.dot_general(
+                xg, gc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        )
+        # dx += gather_{mirror(k)}(g) @ W[k]^T  (mirror = K^3-1-k)
+        midx = rulebook[k3 - 1 - k]
+        msafe = jnp.where(midx >= 0, midx, self_idx)
+        gg = jnp.where((midx >= 0)[:, None], gc[msafe], 0)
+        dx = dx + jax.lax.dot_general(
+            gg, weights[k].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    dw = jnp.stack(dw_list).astype(weights.dtype)
+    dx = dx.astype(features.dtype)
+    return dx, None, dw, None, None
+
+
+subm_conv_symmetric.defvjp(_subm_sym_fwd, _subm_sym_bwd)

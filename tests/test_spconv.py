@@ -202,3 +202,34 @@ class TestGradients:
             fd = (loss(wp, st.features) - loss(wm, st.features)) / (2 * eps)
             np.testing.assert_allclose(np.asarray(gw[idx]), float(fd), rtol=2e-2)
         assert np.abs(np.asarray(gf)).sum() > 0
+
+
+class TestSymmetricVJP:
+    def test_grads_match_autodiff(self, rng):
+        """Custom mirrored-gather backward must equal plain autodiff grads."""
+        import jax
+        from ponderv2_tpu.ops.spconv import (
+            apply_sparse_conv, build_subm_rulebook, subm_conv_symmetric,
+        )
+
+        shape, batch, cin, cout = (8, 8, 8), 2, 3, 4
+        coords, feats = make_scene(rng, 40, shape, batch, cin)
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        rb = build_subm_rulebook(st.coords, shape, batch, 3)
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.3)
+        tok = jnp.zeros((0,), jnp.float32)
+
+        def loss_ref(f, w):
+            out = apply_sparse_conv(f, rb, w, st.mask, None, variant="loop")
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_sym(f, w):
+            out = subm_conv_symmetric(f, rb, w, st.mask, tok)
+            return jnp.sum(out * jnp.cos(out))
+
+        gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(st.features, w)
+        gf_sym, gw_sym = jax.grad(loss_sym, argnums=(0, 1))(st.features, w)
+        np.testing.assert_allclose(np.asarray(gf_sym), np.asarray(gf_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_sym), np.asarray(gw_ref),
+                                   rtol=1e-4, atol=1e-5)

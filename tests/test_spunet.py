@@ -60,8 +60,8 @@ class TestSpUNet:
         out, mutated = model.apply(
             variables, st, train=True, mutable=["batch_stats"]
         )
-        before = variables["batch_stats"]["stem_bn"]["mean"]
-        after = mutated["batch_stats"]["stem_bn"]["mean"]
+        before = variables["batch_stats"]["stem"]["bn"]["mean"]
+        after = mutated["batch_stats"]["stem"]["bn"]["mean"]
         assert not np.allclose(np.asarray(before), np.asarray(after))
 
     def test_padding_invariance(self, rng):

@@ -67,10 +67,12 @@ def convert_spunet_v1m1(state: Dict[str, np.ndarray], channels, layers,
     stats: Dict = {}
     num_stages = len(layers) // 2
 
-    # stem: reference conv_input = Seq(SubMConv3d, BN, ReLU)
-    params["stem_conv"] = dict(kernel=conv_weight(state["conv_input.0.weight"]))
+    # stem: reference conv_input = Seq(SubMConv3d, BN, ReLU) -> our ConvBNRelu
     p, s = bn_params(state, "conv_input.1")
-    params["stem_bn"], stats["stem_bn"] = p, s
+    params["stem"] = dict(
+        conv=dict(kernel=conv_weight(state["conv_input.0.weight"])), bn=p
+    )
+    stats["stem"] = dict(bn=s)
 
     def block(src):
         bp, bs = {}, {}
@@ -103,19 +105,21 @@ def convert_spunet_v1m1(state: Dict[str, np.ndarray], channels, layers,
     # reference ModuleList naming: down.{s}.0, enc.{s}.block{i}, up.{s}.0,
     # dec.{s}.block{i} (spconv_unet_v1m1_base.py:126-218)
     for st_i in range(num_stages):
-        params[f"down{st_i}"] = dict(
-            kernel=conv_weight(state[f"down.{st_i}.0.weight"])
-        )
         p, s = bn_params(state, f"down.{st_i}.1")
-        params[f"down{st_i}_bn"], stats[f"down{st_i}_bn"] = p, s
+        params[f"down{st_i}"] = dict(
+            conv=dict(kernel=conv_weight(state[f"down.{st_i}.0.weight"])), bn=p
+        )
+        stats[f"down{st_i}"] = dict(bn=s)
         names = [f"enc.{st_i}.block{b}" for b in range(layers[st_i])]
         bp, bs = stack_blocks(names)
         params[f"enc{st_i}_blocks"], stats[f"enc{st_i}_blocks"] = bp, bs
 
     for st_i in range(num_stages):
-        params[f"up{st_i}"] = dict(kernel=conv_weight(state[f"up.{st_i}.0.weight"]))
         p, s = bn_params(state, f"up.{st_i}.1")
-        params[f"up{st_i}_bn"], stats[f"up{st_i}_bn"] = p, s
+        params[f"up{st_i}"] = dict(
+            conv=dict(kernel=conv_weight(state[f"up.{st_i}.0.weight"])), bn=p
+        )
+        stats[f"up{st_i}"] = dict(bn=s)
         n_blocks = layers[num_stages + st_i]
         names = [f"dec.{st_i}.block{b}" for b in range(n_blocks)]
         # our decoder: block0 standalone (width change), rest scanned
