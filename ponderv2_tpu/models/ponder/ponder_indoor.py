@@ -159,6 +159,17 @@ class PonderIndoor(nn.Module):
         extrinsic (...,4,4) world2cam. Returns (origins (...,3),
         dirs (..., H, W, 3), optical_axis (..., 3), depth_factor (..., H, W))."""
         K = intrinsic[..., :3, :3]
+        # padding scenes (dropped by the point budget) carry all-zero camera
+        # matrices; inverting those yields NaN that would poison even masked
+        # losses (NaN * 0 = NaN). Substitute identity — their rays are masked
+        # out downstream via depth <= 0.
+        def _guard(m):
+            degenerate = jnp.sum(jnp.abs(m), axis=(-2, -1), keepdims=True) < 1e-8
+            eye = jnp.broadcast_to(jnp.eye(m.shape[-1], dtype=m.dtype), m.shape)
+            return jnp.where(degenerate, eye, m)
+
+        K = _guard(K)
+        extrinsic = _guard(extrinsic)
         pose = jnp.linalg.inv(extrinsic)  # cam2world
         R = pose[..., :3, :3]
         t = pose[..., :3, 3]
