@@ -230,14 +230,12 @@ class RandomRotateTargetAngle(RandomRotate):
     def __call__(self, data_dict):
         if np.random.rand() > self.p:
             return data_dict
-        angle = np.random.choice(self.angle) * np.pi
-        saved = self.angle
-        # reuse parent rotation with a fixed angle
-        self.angle = [angle / np.pi, angle / np.pi]
-        p_saved, self.p = self.p, 1.0
-        out = super().__call__(data_dict)
-        self.angle, self.p = saved, p_saved
-        return out
+        angle = float(np.random.choice(self.angle)) * np.pi
+        # stateless fixed-angle rotation (no self-mutation: dataloader-safe)
+        fixed = RandomRotate(angle=[angle / np.pi, angle / np.pi],
+                             center=self.center, axis=self.axis, p=1.0,
+                             keys=self.keys)
+        return fixed(data_dict)
 
 
 @TRANSFORMS.register_module()

@@ -77,14 +77,43 @@ def build_subm_rulebook(
     """
     k = _triple(kernel_size)
     pad = tuple((s - 1) // 2 for s in k)
+    offs = kernel_offsets(k)
+    k3 = len(offs)
+    n = coords.shape[0]
+    valid_row = coords[:, 0] >= 0
+    arange = jnp.arange(n, dtype=jnp.int32)
+
+    if all(dim % 2 == 1 for dim in k):
+        # odd centered kernels are mirror-symmetric: if tap k maps i -> j then
+        # tap (K^3-1-k) maps j -> i. Query only the first half (the center tap
+        # is the identity) and derive the mirrored half by scatter — halves the
+        # dominant fused-sort cost of the lookup.
+        half = [t for t in range(k3) if t < k3 - 1 - t]
+        table = hashing.build_table(coords, spatial_shape, batch_size)
+        queries = jnp.concatenate(
+            [_query_coords(coords, offs[t], 1, pad) for t in half], axis=0
+        )
+        idx = hashing.lookup(table, queries, spatial_shape).reshape(len(half), n)
+        rows = [None] * k3
+        rows[(k3 - 1) // 2] = jnp.where(valid_row, arange, -1)
+        for pos_t, t in enumerate(half):
+            rk = idx[pos_t]
+            rows[t] = rk
+            tgt = jnp.where(rk >= 0, rk, n)  # dump slot for misses
+            rows[k3 - 1 - t] = (
+                jnp.full((n + 1,), -1, jnp.int32)
+                .at[tgt]
+                .set(jnp.where(rk >= 0, arange, -1))[:n]
+            )
+        return jnp.stack(rows, axis=0)
+
+    # general (even/asymmetric) kernels: one batched lookup for all taps
     table = hashing.build_table(coords, spatial_shape, batch_size)
-    # ONE batched lookup for all K^3 taps: a single fused sort beats K^3
-    # separate searchsorted launches
     queries = jnp.concatenate(
-        [_query_coords(coords, off, 1, pad) for off in kernel_offsets(k)], axis=0
+        [_query_coords(coords, off, 1, pad) for off in offs], axis=0
     )
     idx = hashing.lookup(table, queries, spatial_shape)
-    return idx.reshape(len(kernel_offsets(k)), coords.shape[0])
+    return idx.reshape(k3, n)
 
 
 class StridedPlan(NamedTuple):
