@@ -27,6 +27,7 @@ from ...ops.spconv import (
     build_strided_plan,
     build_subm_rulebook,
     build_inverse_rulebook,
+    invert_strided_rulebook,
 )
 from ...ops.scatter import segment_mean
 from ..builder import MODELS
@@ -199,10 +200,12 @@ class SpUNet(nn.Module):
         # ---- encoder
         skips = [x]
         subm_rulebooks = [None] * (num_stages + 1)  # k3 rulebooks per level
+        down_rulebooks = [None] * num_stages  # kept: decoder inverts them
         for s in range(num_stages):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
+            down_rulebooks[s] = plan.rulebook
             x = unit(kind="strided", channels=self.channels[s],
                      out_spatial_shape=plan.spatial_shape,
                      name=f"down{s}")(x, (plan.out_coords, plan.rulebook), train)
@@ -229,8 +232,9 @@ class SpUNet(nn.Module):
         for s in range(num_stages):
             dec_channels = self.channels[num_stages + s]
             skip = skips[num_stages - 1 - s]
-            rb_inv = build_inverse_rulebook(
-                x.coords, x.spatial_shape, x.batch_size, skip.coords, 2, 2, 0
+            # indice_key reuse: invert the encoder's down rulebook by scatter
+            rb_inv = invert_strided_rulebook(
+                down_rulebooks[num_stages - 1 - s], skip.capacity
             )
             x = unit(kind="inverse", channels=dec_channels,
                      out_spatial_shape=skip.spatial_shape, name=f"up{s}")(

@@ -442,3 +442,25 @@ def _subm_sym_bwd(res, g):
 
 
 subm_conv_symmetric.defvjp(_subm_sym_fwd, _subm_sym_bwd)
+
+
+def invert_strided_rulebook(rulebook: jnp.ndarray, num_fine: int) -> jnp.ndarray:
+    """Derive the inverse-conv rulebook from its paired strided plan by scatter.
+
+    If the down conv's tap d maps coarse row o -> fine input row f
+    (rulebook[d][o] = f), then the inverse conv's tap d maps fine output row f
+    -> coarse row o. No hash lookups needed — this IS spconv's indice_key reuse,
+    in array form.
+    """
+    k3, n_coarse = rulebook.shape
+    coarse_ids = jnp.arange(n_coarse, dtype=jnp.int32)
+    rows = []
+    for t in range(k3):
+        f = rulebook[t]
+        tgt = jnp.where(f >= 0, f, num_fine)
+        rows.append(
+            jnp.full((num_fine + 1,), -1, jnp.int32)
+            .at[tgt]
+            .set(jnp.where(f >= 0, coarse_ids, -1))[:num_fine]
+        )
+    return jnp.stack(rows, axis=0)
