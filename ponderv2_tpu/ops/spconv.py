@@ -153,21 +153,29 @@ def build_strided_plan(
 
     if k == s and p == (0, 0, 0):
         # non-overlapping windows (e.g. the U-Net's k2s2 downsamples): every
-        # input hits exactly one output voxel -> dedup N candidates, not K^3*N
+        # input hits exactly ONE (output voxel, tap) pair, so the whole plan
+        # falls out of unique_voxels' inverse map by scatter — no hash table,
+        # no lookups, no extra sort.
         div = jnp.stack([coords[:, 1 + i] // s[i] for i in range(3)], axis=1)
         cand_coords = jnp.where(
             (b >= 0)[:, None], jnp.concatenate([b[:, None], div], axis=1), -1
         )
-        out_coords, _, _ = unique_voxels(
+        out_coords, inverse, _ = unique_voxels(
             cand_coords, out_shape, batch_size, out_capacity
         )
-        in_table = hashing.build_table(coords, spatial_shape, batch_size)
-        queries = jnp.concatenate(
-            [_query_coords(out_coords, off, s, p) for off in kernel_offsets(k)],
-            axis=0,
+        k3 = len(kernel_offsets(k))
+        n = coords.shape[0]
+        # which tap each input feeds: its offset within the window
+        delta = coords[:, 1:4] - div * jnp.asarray(s)
+        tap = (delta[:, 0] * k[1] + delta[:, 1]) * k[2] + delta[:, 2]
+        valid = (b >= 0) & (inverse < out_capacity)
+        slot = jnp.where(valid, tap * out_capacity + inverse, k3 * out_capacity)
+        rulebook = (
+            jnp.full((k3 * out_capacity + 1,), -1, jnp.int32)
+            .at[slot]
+            .set(jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1))[:-1]
+            .reshape(k3, out_capacity)
         )
-        idx = hashing.lookup(in_table, queries, spatial_shape)
-        rulebook = idx.reshape(len(kernel_offsets(k)), out_coords.shape[0])
         return StridedPlan(out_coords, rulebook, out_shape)
 
     # general case — candidate output coords: for input voxel v and tap d,
