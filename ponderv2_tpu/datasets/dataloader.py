@@ -35,6 +35,7 @@ def build_dataloader(
     scene_budget: Optional[int] = None,
     seed: int = 0,
     persistent_workers: bool = False,
+    num_shards: int = 1,
 ):
     import torch.utils.data as tud
 
@@ -46,7 +47,7 @@ def build_dataloader(
         num_workers=num_workers,
         collate_fn=partial(
             point_collate_fn, point_budget=point_budget, mix_prob=mix_prob,
-            scene_budget=scene_budget,
+            scene_budget=scene_budget, num_shards=num_shards,
         ),
         worker_init_fn=partial(_worker_init, base_seed=seed),
         persistent_workers=persistent_workers and num_workers > 0,
@@ -77,6 +78,7 @@ class MultiDatasetDataloader:
         point_budget: Optional[int] = None,
         mix_prob: float = 0.0,
         seed: int = 0,
+        num_shards: int = 1,
     ):
         self.datasets = concat_dataset.datasets
         self.ratios = [getattr(ds, "loop", 1) for ds in self.datasets]
@@ -91,8 +93,10 @@ class MultiDatasetDataloader:
                 shuffle=True,
                 drop_last=True,
                 point_budget=point_budget,
+                scene_budget=batch_size_per_dataset,
                 mix_prob=mix_prob,
                 seed=derive_seed(seed, i),
+                num_shards=num_shards,
             )
             for i, ds in enumerate(self.datasets)
         ]

@@ -118,8 +118,55 @@ def collate_fn(
     return out
 
 
-def point_collate_fn(batch, point_budget=None, mix_prob=0.0, scene_budget=None):
+def point_collate_fn(batch, point_budget=None, mix_prob=0.0, scene_budget=None,
+                     num_shards=1):
     """Reference-named alias used by train loaders."""
+    if num_shards > 1:
+        return sharded_collate_fn(
+            batch, num_shards, point_budget=point_budget, mix_prob=mix_prob,
+            scene_budget=scene_budget,
+        )
     return collate_fn(
         batch, point_budget=point_budget, mix_prob=mix_prob, scene_budget=scene_budget
     )
+
+
+def sharded_collate_fn(
+    batch: List[Mapping],
+    num_shards: int,
+    point_budget: Optional[int] = None,
+    mix_prob: float = 0.0,
+    scene_budget: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Collate for data parallelism: split scenes into ``num_shards`` contiguous
+    groups, collate each independently (scenes never straddle devices — sparse
+    rulebooks stay exact per device), and stack to a leading (D, ...) axis.
+
+    Budgets are GLOBAL and divided evenly per shard. ``offset``/``batch_size``
+    are dropped (per-device ``batch`` ids carry the segment structure; the
+    per-device scene count is static ctx)."""
+    assert scene_budget is not None and point_budget is not None, (
+        "sharded collate needs explicit global point/scene budgets"
+    )
+    assert scene_budget % num_shards == 0, (scene_budget, num_shards)
+    per_scene = scene_budget // num_shards
+    per_point = point_budget // num_shards
+    subs = []
+    for d in range(num_shards):
+        scenes = batch[d * per_scene : (d + 1) * per_scene]
+        if not scenes:  # short batch: pad with a copy of the first scene group
+            scenes = batch[:per_scene]
+        sub = collate_fn(scenes, point_budget=per_point, mix_prob=mix_prob,
+                         scene_budget=per_scene)
+        sub.pop("offset", None)
+        sub.pop("batch_size", None)
+        subs.append(sub)
+    out: Dict[str, Any] = {}
+    for k, v0 in subs[0].items():
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in subs], axis=0)
+        else:
+            out[k] = v0
+    out["batch_size"] = per_scene
+    out["num_shards"] = num_shards
+    return out

@@ -180,6 +180,33 @@ class Trainer(TrainerBase):
         self.logger.info(f"Save path: {cfg.get('save_path')}")
         self.logger.info(f"Config:\n{cfg.pretty_text}")
 
+        # ------------------------------------------------- data parallelism
+        # The reference's only distribution is DDP around the train loop
+        # (reference defaults.py:22-43, train.py:212-216). TPU-native: a
+        # `data` mesh over all local devices, the train step shard_map'ed
+        # over it (parallel/mesh.py). Enabled automatically when >1 device is
+        # visible; force on/off with cfg.data_parallel.
+        n_avail = len(jax.devices())
+        dp = cfg.get("data_parallel", None)
+        self.num_devices = 1
+        if dp is None:
+            dp = n_avail > 1
+        if dp:
+            self.num_devices = int(cfg.get("num_devices", 0)) or n_avail
+            if cfg.batch_size % self.num_devices != 0:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"{self.num_devices} devices"
+                )
+        self.mesh = None
+        if self.num_devices > 1:
+            from ..parallel.mesh import create_mesh
+
+            self.mesh = create_mesh(self.num_devices)
+            self.logger.info(
+                f"=> Data parallel over {self.num_devices} devices"
+            )
+
         self.logger.info("=> Building model ...")
         self.model = build_model(dict(cfg.model))
         self.logger.info("=> Building train dataset & loader ...")
@@ -193,6 +220,9 @@ class Trainer(TrainerBase):
         self.logger.info("=> Initializing params (tracing model) ...")
         template = next(iter(self.train_loader))
         arrays, _ = split_batch(template)
+        if self.mesh is not None:
+            # sharded batches carry a leading device axis; init on shard 0
+            arrays = {k: v[0] for k, v in arrays.items()}
         self.static_ctx = self.build_static_ctx()
         init_fn = jax.jit(
             lambda rng, arr: self.model.init(
@@ -215,14 +245,29 @@ class Trainer(TrainerBase):
             opt_state=self.tx.init(params),
             constants=variables.get("constants", {}),
         )
-        self.train_step = make_train_step(
-            self.model,
-            self.tx,
-            self.schedule,
-            self.static_ctx,
-            metric_keys=tuple(cfg.get("metric_keys", ())),
-            rng_seed=cfg.get("seed", 0),
-        )
+        if self.mesh is not None:
+            from ..parallel.mesh import make_sharded_train_step, replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
+            self.train_step = make_sharded_train_step(
+                self.model,
+                self.tx,
+                self.schedule,
+                self.static_ctx,
+                self.mesh,
+                metric_keys=tuple(cfg.get("metric_keys", ())),
+                rng_seed=cfg.get("seed", 0),
+                sync_bn=bool(cfg.get("sync_bn", False)),
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.tx,
+                self.schedule,
+                self.static_ctx,
+                metric_keys=tuple(cfg.get("metric_keys", ())),
+                rng_seed=cfg.get("seed", 0),
+            )
         self.eval_step = make_eval_step(self.model, self.static_ctx)
         self.register_hooks(cfg.get("hooks", []))
 
@@ -230,7 +275,8 @@ class Trainer(TrainerBase):
     def build_static_ctx(self) -> Dict[str, Any]:
         ctx = dict(
             spatial_shape=tuple(self.cfg.get("sparse_shape", (1024, 1024, 1024))),
-            batch_size=int(self.cfg.batch_size),
+            # under data parallelism the jitted step sees per-device scenes
+            batch_size=int(self.cfg.batch_size) // self.num_devices,
         )
         ctx.update(self.cfg.get("static_ctx", {}))
         return ctx
@@ -238,6 +284,8 @@ class Trainer(TrainerBase):
     def build_train_loader(self):
         cfg = self.cfg
         dataset = build_dataset(dict(cfg.data.train))
+        if self.num_devices > 1 and not cfg.get("point_budget"):
+            raise ValueError("data_parallel requires an explicit point_budget")
         return build_dataloader(
             dataset,
             batch_size=cfg.batch_size,
@@ -248,6 +296,7 @@ class Trainer(TrainerBase):
             scene_budget=cfg.batch_size,
             mix_prob=cfg.get("mix_prob", 0.0),
             seed=cfg.get("seed", 0),
+            num_shards=self.num_devices,
         )
 
     def build_val_loader(self):
@@ -269,7 +318,12 @@ class Trainer(TrainerBase):
     # ------------------------------------------------------------------- step
     def run_step(self):
         arrays, _ = split_batch(self.comm_info["input_dict"])
-        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            arrays = shard_batch(arrays, self.mesh)
+        else:
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         self.state, metrics = self.train_step(self.state, arrays)
         self.comm_info["metrics"] = metrics
 
@@ -283,6 +337,8 @@ class MultiDatasetTrainer(Trainer):
     def build_train_loader(self):
         cfg = self.cfg
         dataset = build_dataset(dict(cfg.data.train))
+        if self.num_devices > 1 and not cfg.get("point_budget"):
+            raise ValueError("data_parallel requires an explicit point_budget")
         return MultiDatasetDataloader(
             dataset,
             batch_size_per_dataset=cfg.batch_size,
@@ -290,4 +346,5 @@ class MultiDatasetTrainer(Trainer):
             point_budget=cfg.get("point_budget"),
             mix_prob=cfg.get("mix_prob", 0.0),
             seed=cfg.get("seed", 0),
+            num_shards=self.num_devices,
         )

@@ -13,10 +13,30 @@ matching reference configs like eps=1e-3, momentum=0.01
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+# ---------------------------------------------------------------- SyncBN axis
+# When set (trace-time), MaskedBatchNorm psums its batch statistics over the
+# named mesh axis — true cross-replica SyncBatchNorm semantics (reference
+# nn.SyncBatchNorm.convert_sync_batchnorm, train.py:207-208). Installed by
+# parallel.mesh.make_sharded_train_step(sync_bn=True) around the model trace.
+_BN_SYNC_AXIS: Optional[str] = None
+
+
+@contextlib.contextmanager
+def bn_sync_axis(axis_name: Optional[str]):
+    global _BN_SYNC_AXIS
+    prev = _BN_SYNC_AXIS
+    _BN_SYNC_AXIS = axis_name
+    try:
+        yield
+    finally:
+        _BN_SYNC_AXIS = prev
 
 
 class MaskedBatchNorm(nn.Module):
@@ -38,9 +58,15 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             m = mask.astype(jnp.float32)[:, None]
-            count = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / count
-            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / count
+            s1 = jnp.sum(x * m, axis=0)
+            s2 = jnp.sum((x * x) * m, axis=0)
+            count = jnp.sum(m)
+            if _BN_SYNC_AXIS is not None and not self.is_initializing():
+                # cross-replica statistics over the data-parallel axis
+                s1, s2, count = jax.lax.psum((s1, s2, count), _BN_SYNC_AXIS)
+            count = jnp.maximum(count, 1.0)
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
                 # torch tracks *unbiased* running variance

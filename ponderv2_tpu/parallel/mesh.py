@@ -30,6 +30,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 def create_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise RuntimeError(
+                f"create_mesh: requested {num_devices} devices but only "
+                f"{len(devices)} available ({devices[:2]}...). Refusing to "
+                f"silently build a smaller mesh — for a simulated mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={num_devices} "
+                f"and force the cpu platform before jax initializes."
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
 
@@ -42,26 +50,17 @@ def shard_collate(
     mix_prob: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Collate scenes into a (D, ...) stacked batch, one sub-batch per device."""
-    from ..datasets.utils import collate_fn
+    from ..datasets.utils import sharded_collate_fn
 
     assert len(scenes) == num_devices * scenes_per_device
-    subs = []
-    for d in range(num_devices):
-        sub = collate_fn(
-            scenes[d * scenes_per_device : (d + 1) * scenes_per_device],
-            point_budget=point_budget,
-            mix_prob=mix_prob,
-            scene_budget=scenes_per_device,
-        )
-        sub.pop("offset", None)
-        sub.pop("batch_size", None)
-        subs.append(sub)
-    out = {}
-    for k in subs[0]:
-        v0 = subs[0][k]
-        if isinstance(v0, np.ndarray):
-            out[k] = np.stack([s[k] for s in subs], axis=0)
-    return out
+    out = sharded_collate_fn(
+        scenes,
+        num_devices,
+        point_budget=point_budget * num_devices,
+        mix_prob=mix_prob,
+        scene_budget=scenes_per_device * num_devices,
+    )
+    return {k: v for k, v in out.items() if isinstance(v, np.ndarray)}
 
 
 def make_sharded_train_step(
@@ -72,9 +71,15 @@ def make_sharded_train_step(
     mesh: Mesh,
     axis_name: str = "data",
     loss_key: str = "loss",
+    metric_keys: Sequence[str] = (),
     rng_seed: int = 0,
+    sync_bn: bool = False,
 ):
-    """Data-parallel train step over ``mesh``: state replicated, batch sharded."""
+    """Data-parallel train step over ``mesh``: state replicated, batch sharded.
+
+    ``sync_bn=True`` computes BatchNorm statistics across the whole mesh
+    (reference cfg.sync_bn -> nn.SyncBatchNorm, train.py:207-208); off by
+    default, matching the reference default."""
 
     base_rng = jax.random.PRNGKey(rng_seed)
 
@@ -88,17 +93,20 @@ def make_sharded_train_step(
         input_dict = {**arrays, **static_ctx, "rng": rng}
 
         def loss_fn(params):
+            from ..models.norm import bn_sync_axis
+
             variables = {"params": params, "batch_stats": state.batch_stats}
             if state.constants:
                 variables["constants"] = state.constants
-            out, mutated = model.apply(
-                variables, input_dict, train=True, mutable=["batch_stats"]
-            )
-            return out[loss_key], mutated["batch_stats"]
+            with bn_sync_axis(axis_name if sync_bn else None):
+                out, mutated = model.apply(
+                    variables, input_dict, train=True, mutable=["batch_stats"]
+                )
+            return out[loss_key], (out, mutated["batch_stats"])
 
-        (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (out, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         # DDP-equivalent gradient allreduce + stat sync, riding ICI
         grads = jax.lax.pmean(grads, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
@@ -112,6 +120,9 @@ def make_sharded_train_step(
             opt_state=opt_state,
         )
         metrics = {"loss": loss, "lr": schedule(state.step)}
+        for k in metric_keys:
+            if k in out:
+                metrics[k] = jax.lax.pmean(out[k], axis_name)
         return new_state, metrics
 
     sharded = jax.shard_map(
