@@ -279,13 +279,32 @@ class PonderIndoor(nn.Module):
         # unit-cube sample positions for the field are p + 0.5 in [0,1]; the
         # renderer normalizes internally via +0.5 with padding
         pad = 1.0 + self.padding
-        render_out = self.render_model(
-            volume,
-            (ray_dict["ray_o"] / pad) + 0.5,
-            ray_dict["ray_d"],
-            train=train,
-            rng=rng_render,
-        )
+        ray_o = (ray_dict["ray_o"] / pad) + 0.5
+        ray_d = ray_dict["ray_d"]
+        R = ray_o.shape[1]
+        if (not train) and R > self.val_ray_split:
+            # eval-time ray chunking (reference ponder_indoor_base.py:656-668):
+            # render val_ray_split rays at a time so full-resolution eval fits
+            # memory. Python loop (static trip count) keeps flax happy.
+            chunk = self.val_ray_split
+            n_pad = (-R) % chunk
+            ro = jnp.pad(ray_o, ((0, 0), (0, n_pad), (0, 0)))
+            rd = jnp.pad(ray_d, ((0, 0), (0, n_pad), (0, 0)))
+            parts = []
+            for s in range(0, R + n_pad, chunk):
+                parts.append(
+                    self.render_model(
+                        volume, ro[:, s:s + chunk], rd[:, s:s + chunk],
+                        train=False, rng=rng_render,
+                    )
+                )
+            render_out = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1)[:, :R], *parts
+            )
+        else:
+            render_out = self.render_model(
+                volume, ray_o, ray_d, train=train, rng=rng_render,
+            )
         # sdf at sparse input points (sparse-point sdf loss)
         sp_points = (p_norm / pad) + 0.5
         render_out["sparse_sdf"] = self.render_model.sdf_field.get_sdf(
@@ -297,6 +316,19 @@ class PonderIndoor(nn.Module):
             self.class_embedding.value
             if (self.render_semantic or self.ppt_loss_weight > 0) else None
         )
+        # per-condition class subset (reference index2semantic,
+        # ponder_indoor_base.py:514-517): condition is a static python string,
+        # so the valid_index slice resolves at trace time
+        cond = input_dict.get("condition", self.conditions[0])
+        if isinstance(cond, (list, tuple)):
+            cond = cond[0]
+        ci = self.conditions.index(cond) if cond in self.conditions else 0
+        index2semantic = None
+        if class_emb is not None:
+            index2semantic = (
+                class_emb[jnp.asarray(self.valid_index[ci])]
+                if self.valid_index else class_emb
+            )
         # note: ray origins were rescaled by 1/pad for sampling; gt depths too
         targets = dict(ray_dict)
         targets["depth"] = jnp.where(
@@ -304,8 +336,8 @@ class PonderIndoor(nn.Module):
         )
         loss_dict = self.render_model.get_loss(
             render_out, targets,
-            class_embeddings=class_emb,
-            logit_scale=None,
+            class_embeddings=index2semantic,
+            train=train,
         )
         loss = loss_dict.pop("render_loss")
 
@@ -313,18 +345,10 @@ class PonderIndoor(nn.Module):
         out.update({k: jax.lax.stop_gradient(v) for k, v in loss_dict.items()})
 
         if self.ppt_loss_weight > 0 and "segment" in input_dict:
-            cond = input_dict.get("condition", self.conditions[0])
-            if isinstance(cond, (list, tuple)):
-                cond = cond[0]
-            ci = self.conditions.index(cond) if cond in self.conditions else 0
-            vi = (
-                jnp.asarray(self.valid_index[ci])
-                if self.valid_index else jnp.arange(class_emb.shape[0])
-            )
             from .render.rays import safe_normalize
 
             feat = safe_normalize(self.proj_head(sparse_feat))
-            emb = safe_normalize(class_emb[vi])
+            emb = safe_normalize(index2semantic)
             logits = feat @ emb.T * jnp.exp(self.logit_scale)
             labels = input_dict["segment"]
             valid = (labels >= 0) & (batch >= 0)

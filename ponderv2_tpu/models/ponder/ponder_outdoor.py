@@ -33,6 +33,13 @@ class PonderOutdoor(nn.Module):
     render_semantic: bool = False
     conditions: Tuple[str, ...] = ("NuScenes",)
     val_ray_split: int = 8192
+    # CLIP semantic head (reference ponder_outdoor_base.py:60-88): class-name
+    # text embeddings, per-condition valid_index slices
+    template: Any = "[x]"
+    clip_model: str = "openai/clip-vit-base-patch16"
+    class_name: Tuple[str, ...] = ()
+    valid_index: Tuple[Tuple[int, ...], ...] = ()
+    embedding_path: Optional[str] = None
 
     def setup(self):
         self.backbone_net = build_model(dict(self.backbone))
@@ -40,6 +47,18 @@ class PonderOutdoor(nn.Module):
         cfg = dict(self.renderer)
         cls = RENDERERS.get(cfg.pop("type", "NeuSModel"))
         self.render_model = cls(**cfg)
+        if self.render_semantic:
+            from ...utils.clip_text import get_text_embeddings
+
+            names = list(self.class_name) or [f"class_{i}" for i in range(16)]
+            emb = get_text_embeddings(
+                names,
+                embedding_path=self.embedding_path,
+                clip_model=self.clip_model,
+            )
+            self.class_embedding = self.variable(
+                "constants", "class_embedding", lambda: jnp.asarray(emb)
+            )
 
     def _normalize(self, p: jnp.ndarray) -> jnp.ndarray:
         """World coords -> [0, 1]^3 over the fixed point-cloud range."""
@@ -88,13 +107,26 @@ class PonderOutdoor(nn.Module):
 
         render_out = self.render_model(volume, ray_start, dirs, train=train, rng=rng)
         targets = dict(
-            rgb=input_dict["ray_rgb"].astype(jnp.float32) / 255.0,
             depth=jnp.where(valid, dist, -0.001),
             ray_mask=valid,
         )
+        if "ray_rgb" in input_dict:  # color variant (reference `-color` cfg)
+            targets["rgb"] = input_dict["ray_rgb"].astype(jnp.float32) / 255.0
+        class_emb = None
         if self.render_semantic and "ray_segment" in input_dict:
             targets["semantic"] = input_dict["ray_segment"]
-        loss_dict = self.render_model.get_loss(render_out, targets)
+            # per-condition class subset (reference :168-174); condition is a
+            # static python string resolved at trace time
+            cond = input_dict.get("condition", self.conditions[0])
+            if isinstance(cond, (list, tuple)):
+                cond = cond[0]
+            ci = self.conditions.index(cond) if cond in self.conditions else 0
+            class_emb = self.class_embedding.value
+            if self.valid_index:
+                class_emb = class_emb[jnp.asarray(self.valid_index[ci])]
+        loss_dict = self.render_model.get_loss(
+            render_out, targets, class_embeddings=class_emb, train=train
+        )
         loss = loss_dict.pop("render_loss")
         out = dict(loss=loss)
         out.update({k: jax.lax.stop_gradient(v) for k, v in loss_dict.items()})

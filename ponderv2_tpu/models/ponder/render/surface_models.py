@@ -36,6 +36,19 @@ from .samplers import SAMPLERS, NeuSSampler
 RENDERERS = Registry("renderers")
 
 
+def _contrastive_ce(pred: jnp.ndarray, gt: jnp.ndarray, valid: jnp.ndarray,
+                    temperature: float) -> jnp.ndarray:
+    """InfoNCE over a ray batch (reference base_surface_model.py:130-145):
+    ``logits = pred @ gt.T / temperature``, label of ray i is i; rows with
+    ``valid == False`` are excluded from the mean (reference label -100).
+    Returns 0 when no row is valid."""
+    logits = (pred @ gt.T) / temperature  # (N, N)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.diagonal(logp)
+    v = valid.astype(jnp.float32)
+    return (nll * v).sum() / jnp.maximum(v.sum(), 1.0)
+
+
 class SurfaceModel(nn.Module):
     """Base: collider -> sampler -> field -> compositing -> outputs."""
 
@@ -72,16 +85,27 @@ class SurfaceModel(nn.Module):
         outputs: Dict[str, jnp.ndarray],
         targets: Dict[str, jnp.ndarray],
         class_embeddings: Optional[jnp.ndarray] = None,
-        logit_scale: Optional[jnp.ndarray] = None,
+        train: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        """Compute the render losses.
+        """Compute the render losses (reference base_surface_model.py:102-209).
 
         targets: ``rgb (B,R,3)``, ``depth (B,R)``, ``semantic (B,R) int``
-        (class id, -1 = ignore), ``ray_mask (B,R)`` bool (valid rays).
-        ``sparse_sdf`` in outputs: sdf at input points for the sparse loss.
+        (class id into ``class_embeddings``; ids <= 0 carry no CLIP target, as
+        in the reference's ``semantic_map[semantic > 0]`` construction),
+        ``ray_mask (B,R)`` bool (valid rays). ``sparse_sdf`` in outputs: sdf at
+        input points for the sparse loss.
+
+        Weight keys accept both reference spelling (``rgb_loss``) and the short
+        form (``rgb``). Deviation from the reference: rgb/psnr are averaged over
+        valid rays only — our fixed-shape batches contain padding rays (from
+        budget-dropped scenes) that the reference's ragged batches never see.
         """
         cfg = self._loss_cfg
         w = cfg.get("weights", {})
+
+        def _w(name, default):
+            return w.get(f"{name}_loss", w.get(name, default))
+
         mask = targets.get("ray_mask")
         if mask is None:
             mask = jnp.ones(targets["rgb"].shape[:-1], bool)
@@ -91,7 +115,7 @@ class SurfaceModel(nn.Module):
 
         if "rgb" in outputs and "rgb" in targets:
             err = jnp.abs(outputs["rgb"] - targets["rgb"]).mean(-1)
-            losses["rgb_loss"] = (err * fmask).sum() / n_rays * w.get("rgb", 10.0)
+            losses["rgb_loss"] = (err * fmask).sum() / n_rays * _w("rgb", 10.0)
             mse = (((outputs["rgb"] - targets["rgb"]) ** 2).mean(-1) * fmask
                    ).sum() / n_rays
             losses["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
@@ -100,28 +124,57 @@ class SurfaceModel(nn.Module):
             dmask = fmask * (targets["depth"] > 0)
             nd = jnp.maximum(dmask.sum(), 1.0)
             err = jnp.abs(outputs["depth"] - targets["depth"])
-            losses["depth_loss"] = (err * dmask).sum() / nd * w.get("depth", 1.0)
+            losses["depth_loss"] = (err * dmask).sum() / nd * _w("depth", 1.0)
 
         if (
             "semantic" in outputs
             and "semantic" in targets
             and class_embeddings is not None
         ):
-            # ray-batch contrastive CE vs CLIP class embeddings
-            pred = safe_normalize(outputs["semantic"])
-            emb = safe_normalize(class_embeddings)
-            scale = jnp.exp(logit_scale) if logit_scale is not None else 100.0
-            logits = pred @ emb.T * scale  # (B, R, K)
-            labels = targets["semantic"]
-            smask = fmask * (labels >= 0)
-            ns = jnp.maximum(smask.sum(), 1.0)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(
-                logp, jnp.clip(labels, 0)[..., None], axis=-1
-            )[..., 0]
-            losses["semantic_loss"] = (nll * smask).sum() / ns * w.get(
-                "semantic", 1.0
+            # Ray-batch contrastive InfoNCE (reference :122-173): every ray's
+            # rendered CLIP feature must match its OWN ray's gt text embedding
+            # among all rays' gt embeddings in the batch; temperature-scaled.
+            # gt embeddings are taken as-is (CLIP rows are unit-norm already;
+            # rows for label<=0 are zero and excluded — reference
+            # ``semantic_map[semantic > 0]`` + ``valid_semantic_mask``).
+            temperature = float(cfg.get("temperature", 0.01))
+            # indoor reference fills gt embeddings only for labels > 0
+            # (semantic_map[semantic > 0]); the outdoor path indexes label 0
+            # too (ponder_outdoor_base.py:169-174) — configurable minimum.
+            min_label = int(cfg.get("semantic_min_label", 1))
+            labels = targets["semantic"]  # (B, R) int
+            pred = safe_normalize(outputs["semantic"])  # (B, R, C)
+            lab_ok = labels >= min_label
+            gt_emb = jnp.where(
+                lab_ok[..., None],
+                jnp.asarray(class_embeddings)[jnp.clip(labels, 0)],
+                0.0,
             )
+            valid = fmask * (targets.get("depth", fmask) > 0) * lab_ok
+            C = pred.shape[-1]
+            pred_f = pred.reshape(-1, C)
+            gt_f = gt_emb.reshape(-1, C)
+            valid_f = valid.reshape(-1)
+            if train:
+                sem = _contrastive_ce(pred_f, gt_f, valid_f, temperature)
+            else:
+                # eval: chunk-local contrast (reference val path :147-170)
+                chunk = int(cfg.get("val_ray_split", 128))
+                n = pred_f.shape[0]
+                pad = (-n) % chunk
+                if pad:
+                    pred_f = jnp.pad(pred_f, ((0, pad), (0, 0)))
+                    gt_f = jnp.pad(gt_f, ((0, pad), (0, 0)))
+                    valid_f = jnp.pad(valid_f, (0, pad))
+                sem = jnp.mean(
+                    jax.vmap(_contrastive_ce, in_axes=(0, 0, 0, None))(
+                        pred_f.reshape(-1, chunk, C),
+                        gt_f.reshape(-1, chunk, C),
+                        valid_f.reshape(-1, chunk),
+                        temperature,
+                    )
+                )
+            losses["semantic_loss"] = sem * _w("semantic", 1.0)
 
         if "sdf" in outputs and "depth" in targets:
             truncation = cfg.get("sensor_depth_truncation", 0.05)
@@ -136,19 +189,18 @@ class SurfaceModel(nn.Module):
             nn_ = jnp.maximum(near.sum(), 1.0)
             losses["free_space_loss"] = (
                 (nn.relu(truncation - sdf) * front).sum() / nf
-                * w.get("free_space", 1.0)
+                * _w("free_space", 1.0)
             )
             losses["sdf_loss"] = (
                 (jnp.abs(sdf - approx_sdf) * near).sum() / nn_
-                * w.get("sdf", 1.0)
+                * _w("sdf", 1.0)
             )
 
         if "gradients" in outputs:
+            # reference :198-201 means over ALL samples, no ray mask
             grad_norm = safe_norm(outputs["gradients"], axis=-1)
-            eik = ((grad_norm - 1.0) ** 2 * fmask[..., None]).sum() / jnp.maximum(
-                fmask[..., None].sum() * grad_norm.shape[-1], 1.0
-            )
-            losses["eikonal_loss"] = eik * w.get("eikonal", 0.1)
+            eik = ((grad_norm - 1.0) ** 2).mean()
+            losses["eikonal_loss"] = eik * _w("eikonal", 0.1)
 
         if "sparse_sdf" in outputs:
             sp_mask = outputs.get("sparse_sdf_mask")
@@ -158,7 +210,7 @@ class SurfaceModel(nn.Module):
             losses["sparse_sdf_loss"] = (
                 (jnp.abs(outputs["sparse_sdf"]) * spm).sum()
                 / jnp.maximum(spm.sum(), 1.0)
-                * w.get("sparse_sdf", 0.0)
+                * _w("sparse_sdf", w.get("sparse_points_sdf_loss", 0.0))
             )
 
         total = sum(

@@ -135,3 +135,101 @@ class TestNeuSModel:
         assert np.isfinite(float(loss))
         gsum = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
         assert gsum > 0
+
+
+class TestContrastiveSemanticLoss:
+    """The semantic render loss must be the reference's ray-batch InfoNCE
+    (reference base_surface_model.py:122-173): logits = normalize(pred) @
+    gt_embeddings.T / temperature, label of ray i = i, rays with depth<=0 or
+    label<=0 ignored. Oracle: a direct torch reimplementation of those lines."""
+
+    def _torch_reference(self, pred, labels, depth, emb, temperature):
+        import torch
+        import torch.nn.functional as F
+
+        pred = torch.from_numpy(pred)
+        semantic_gt = torch.zeros(pred.shape[0], emb.shape[1])
+        lab = torch.from_numpy(labels)
+        semantic_gt[lab > 0] = torch.from_numpy(emb)[lab[lab > 0].long()]
+        pred = F.normalize(pred, dim=-1)
+        valid = (torch.from_numpy(depth) > 0) & semantic_gt.any(dim=-1)
+        logits = pred @ semantic_gt.t() / temperature
+        tgt = torch.arange(pred.shape[0], dtype=torch.long)
+        tgt[~valid] = -100
+        if (tgt != -100).sum() == 0:
+            return 0.0
+        return float(F.cross_entropy(logits, tgt))
+
+    def test_matches_torch_reference(self, rng):
+        from ponderv2_tpu.models.ponder.render.surface_models import NeuSModel
+
+        B, R, K, C = 2, 24, 6, 16
+        temperature = 0.07
+        pred = rng.randn(B, R, C).astype(np.float32)
+        labels = rng.randint(0, K, (B, R)).astype(np.int32)
+        depth = rng.rand(B, R).astype(np.float32) - 0.2  # some invalid
+        emb = rng.randn(K, C).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+
+        model = NeuSModel(loss=dict(temperature=temperature,
+                                    weights=dict(semantic_loss=1.0)))
+        variables = {"params": {}}
+        outputs = dict(semantic=jnp.asarray(pred))
+        targets = dict(
+            semantic=jnp.asarray(labels),
+            depth=jnp.asarray(depth),
+            ray_mask=jnp.asarray(depth > 0),
+        )
+        losses = model.apply(variables, outputs, targets, jnp.asarray(emb),
+                             method=NeuSModel.get_loss)
+        expected = self._torch_reference(
+            pred.reshape(-1, C), labels.reshape(-1), depth.reshape(-1), emb,
+            temperature,
+        )
+        np.testing.assert_allclose(float(losses["semantic_loss"]), expected,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_no_valid_rays_is_zero(self, rng):
+        from ponderv2_tpu.models.ponder.render.surface_models import NeuSModel
+
+        model = NeuSModel(loss=dict(temperature=0.01,
+                                    weights=dict(semantic_loss=1.0)))
+        outputs = dict(semantic=jnp.asarray(rng.randn(1, 8, 4).astype(np.float32)))
+        targets = dict(
+            semantic=jnp.zeros((1, 8), jnp.int32),  # label 0 => no CLIP target
+            depth=jnp.ones((1, 8), jnp.float32),
+            ray_mask=jnp.ones((1, 8), bool),
+        )
+        emb = jnp.asarray(rng.randn(4, 4).astype(np.float32))
+        losses = model.apply({"params": {}}, outputs, targets, emb,
+                             method=NeuSModel.get_loss)
+        assert float(losses["semantic_loss"]) == 0.0
+
+    def test_eval_chunked_matches_reference_chunking(self, rng):
+        """Eval mode: per-chunk contrast, mean over chunk losses."""
+        from ponderv2_tpu.models.ponder.render.surface_models import NeuSModel
+
+        B, R, K, C = 1, 32, 5, 8
+        chunk, temperature = 8, 0.05
+        pred = rng.randn(B, R, C).astype(np.float32)
+        labels = rng.randint(0, K, (B, R)).astype(np.int32)
+        depth = (rng.rand(B, R).astype(np.float32) + 0.1)
+        emb = rng.randn(K, C).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+
+        model = NeuSModel(loss=dict(temperature=temperature,
+                                    val_ray_split=chunk,
+                                    weights=dict(semantic_loss=1.0)))
+        outputs = dict(semantic=jnp.asarray(pred))
+        targets = dict(semantic=jnp.asarray(labels), depth=jnp.asarray(depth),
+                       ray_mask=jnp.ones((B, R), bool))
+        losses = model.apply({"params": {}}, outputs, targets,
+                             jnp.asarray(emb), False,
+                             method=NeuSModel.get_loss)
+        chunks = []
+        for s in range(0, R, chunk):
+            chunks.append(self._torch_reference(
+                pred[0, s:s+chunk], labels[0, s:s+chunk], depth[0, s:s+chunk],
+                emb, temperature))
+        np.testing.assert_allclose(float(losses["semantic_loss"]),
+                                   np.mean(chunks), rtol=1e-5, atol=1e-6)
