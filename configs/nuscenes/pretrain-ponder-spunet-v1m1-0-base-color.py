@@ -1,0 +1,38 @@
+# nuScenes pretraining + color rendering (AMP off, milder geometric augs)
+# (reference configs/nuscenes/pretrain-ponder-spunet-v1m1-0-base-color.py)
+_base_ = ["./pretrain-ponder-spunet-v1m1-0-base.py"]
+
+point_cloud_range = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+metric_keys = ("rgb_loss", "depth_loss", "psnr", "eikonal_loss",
+               "free_space_loss", "sdf_loss")
+
+model = dict(
+    renderer=dict(
+        field=dict(use_color=True),
+        loss=dict(weights=dict(rgb=10.0)),
+    ),
+)
+
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="RandomRotate", angle=[-0.125, 0.125], axis="z",
+                 center=[0, 0, 0], p=0.5, keys=["lidar2img", "lidar2cam"]),
+            dict(type="RandomScale", scale=[0.95, 1.05], anisotropic=False,
+                 keys=["lidar2img", "lidar2cam"]),
+            dict(type="PointRangeFilter", point_cloud_range=point_cloud_range,
+                 padding=0.1),
+            dict(type="ProjectOnImage", depth_threshold=0.05),
+            dict(type="RaySample", point_nsample=512, fetch_color=True,
+                 fetch_segment=True),
+            dict(type="GridSample", grid_size=0.075, hash_type="fnv",
+                 mode="train", return_grid_coord=True,
+                 keys=("coord", "strength", "segment")),
+            dict(type="Add", keys_dict={"condition": "NuScenes"}),
+            dict(type="Collect",
+                 keys=("coord", "grid_coord", "segment", "ray_start", "ray_end",
+                       "ray_rgb", "ray_segment", "ray_valid"),
+                 feat_keys=("coord", "strength")),
+        ],
+    ),
+)

@@ -17,7 +17,9 @@ eval_epoch = 24
 point_budget = 262_144
 sparse_shape = (1440, 1440, 108)
 point_cloud_range = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
-metric_keys = ("rgb_loss", "depth_loss", "psnr")
+# base = depth-only rendering (reference base config has no rgb decoder; the
+# -color / -color-amp / -semantic variants add color / semantic heads)
+metric_keys = ("depth_loss", "eikonal_loss", "free_space_loss", "sdf_loss")
 
 model = dict(
     type="PonderOutdoor-v2",
@@ -37,6 +39,7 @@ model = dict(
             hidden_dim=128,
             num_layers=2,
             geo_feat_dim=15,
+            use_color=False,
             use_semantic=False,
             share_volume=True,
             points_factor=0.0,
@@ -46,8 +49,7 @@ model = dict(
                      num_samples_importance=24, num_upsample_steps=1),
         loss=dict(
             sensor_depth_truncation=0.01,
-            weights=dict(eikonal=0.01, free_space=1.0, sdf=10.0, depth=1.0,
-                         rgb=10.0),
+            weights=dict(eikonal=0.01, free_space=1.0, sdf=10.0, depth=1.0),
         ),
     ),
     grid_shape=(180, 180, 5),
@@ -74,13 +76,15 @@ data = dict(
             dict(type="PointRangeFilter", point_cloud_range=point_cloud_range,
                  padding=0.1),
             dict(type="ProjectOnImage", depth_threshold=0.05),
-            dict(type="RaySample", point_nsample=512),
+            dict(type="RaySample", point_nsample=512, fetch_color=False,
+                 fetch_segment=False),
             dict(type="GridSample", grid_size=0.075, hash_type="fnv",
                  mode="train", return_grid_coord=True,
                  keys=("coord", "strength", "segment")),
+            dict(type="Add", keys_dict={"condition": "NuScenes"}),
             dict(type="Collect",
                  keys=("coord", "grid_coord", "segment", "ray_start", "ray_end",
-                       "ray_rgb", "ray_valid"),
+                       "ray_valid"),
                  feat_keys=("coord", "strength")),
         ],
     ),

@@ -1,0 +1,110 @@
+# S3DIS (Area-5) semantic segmentation, SpUNet from scratch
+# (reference configs/s3dis/semseg-spunet-v1m1-0-base.py)
+_base_ = ["../_base_/default_runtime.py"]
+
+num_classes = 13
+names = [
+    "ceiling", "floor", "wall", "beam", "column", "window", "door", "table",
+    "chair", "sofa", "bookcase", "board", "clutter",
+]
+
+batch_size = 12
+batch_size_val = 1
+num_worker = 12
+mix_prob = 0.8
+epoch = 3000
+eval_epoch = 100
+point_budget = 1_572_864
+point_budget_val = 262_144
+sparse_shape = (1024, 1024, 512)
+
+model = dict(
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="SpUNet-v1m1",
+        in_channels=6,
+        num_classes=num_classes,
+        channels=(32, 64, 128, 256, 256, 128, 96, 96),
+        layers=(2, 3, 4, 6, 2, 2, 2, 2),
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+optimizer = dict(type="SGD", lr=0.1, momentum=0.9, weight_decay=1e-4, nesterov=True)
+scheduler = dict(type="PolyLR", base_lr=0.1, power=0.9)
+
+_train_transform = [
+    dict(type="CenterShift", apply_z=True),
+    dict(type="RandomDropout", dropout_ratio=0.2, dropout_application_ratio=0.2),
+    dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+    dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+    dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+    dict(type="RandomScale", scale=[0.9, 1.1]),
+    dict(type="RandomFlip", p=0.5),
+    dict(type="RandomJitter", sigma=0.005, clip=0.02),
+    dict(type="ElasticDistortion", distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+    dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+    dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+    dict(type="ChromaticJitter", p=0.95, std=0.05),
+    dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train",
+         return_grid_coord=True),
+    dict(type="SphereCrop", point_max=100000, mode="random"),
+    dict(type="CenterShift", apply_z=False),
+    dict(type="NormalizeColor"),
+    dict(type="ShufflePoint"),
+    dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+         feat_keys=("color", "normal")),
+]
+
+data = dict(
+    num_classes=num_classes,
+    ignore_index=-1,
+    names=names,
+    train=dict(
+        type="S3DISDataset",
+        split=("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+        data_root="data/s3dis",
+        transform=_train_transform,
+        test_mode=False,
+    ),
+    val=dict(
+        type="S3DISDataset",
+        split="Area_5",
+        data_root="data/s3dis",
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train",
+                 return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "normal")),
+        ],
+        test_mode=False,
+    ),
+    test=dict(
+        type="S3DISDataset",
+        split="Area_5",
+        data_root="data/s3dis",
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="NormalizeColor"),
+        ],
+        test_mode=True,
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.05, hash_type="fnv",
+                          mode="test", return_grid_coord=True,
+                          keys=("coord", "color", "normal")),
+            crop=None,
+            post_transform=[
+                dict(type="CenterShift", apply_z=False),
+                dict(type="Collect", keys=("coord", "grid_coord", "index"),
+                     feat_keys=("color", "normal")),
+            ],
+            aug_transform=[
+                [dict(type="RandomRotateTargetAngle", angle=[0], axis="z",
+                      center=[0, 0, 0], p=1)],
+            ],
+        ),
+    ),
+)

@@ -1,5 +1,7 @@
 # Multi-dataset PPT pretraining: ScanNet + S3DIS + Structured3D joint rendering
 # pretext (reference configs/scannet/pretrain-ponder-ppt-v1m1-0-sc-s3-st-spunet.py)
+from ponderv2_tpu.datasets.ppt_vocab import PPT_CLASS_NAMES, PPT_VALID_INDEX
+
 _base_ = ["./pretrain-ponder-spunet-v1m1-0-base.py"]
 
 batch_size = 8
@@ -9,24 +11,11 @@ eval_epoch = 100
 
 train = dict(type="MultiDatasetTrainer")
 
-joint_class_names = [
-    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
-    "window", "picture", "desk", "shelves", "curtain", "dresser", "pillow",
-    "mirror", "ceiling", "refrigerator", "television", "nightstand", "sink",
-    "lamp", "otherstructure", "otherfurniture", "otherprop",
-    "bookshelf", "counter", "shower curtain", "toilet", "bathtub",
-    "beam", "column", "clutter", "board", "bookcase",
-]
-valid_index = (
-    tuple(range(25)),  # Structured3D
-    (0, 1, 2, 3, 4, 5, 6, 7, 8, 25, 9, 26, 10, 12, 17, 27, 28, 20, 29, 23),  # ScanNet
-    (16, 1, 0, 30, 31, 8, 7, 6, 4, 5, 34, 33, 32),  # S3DIS
-)
 
 model = dict(
     conditions=("Structured3D", "ScanNet", "S3DIS"),
-    class_name=tuple(joint_class_names),
-    valid_index=valid_index,
+    class_name=PPT_CLASS_NAMES,
+    valid_index=PPT_VALID_INDEX,
     ppt_loss_weight=1.0,
 )
 

@@ -1,23 +1,21 @@
-# ScanNet semseg fine-tune from PonderV2 PPT pretraining (language-guided)
-# (reference configs/scannet/semseg-ppt-v1m1-0-sc-s3-st-spunet-lovasz-ft.py)
-from ponderv2_tpu.datasets.ppt_vocab import PPT_CLASS_NAMES, PPT_VALID_INDEX
+# ScanNet200 semseg fine-tune: SpUNet-v1m3(200-class head) inside PPT-v1m1
+# backbone_mode, wrapped by DefaultSegmentor
+# (reference configs/scannet200/semseg-ppt-v1m1-0-spunet-lovasz-ft.py)
+from ponderv2_tpu.datasets.ppt_vocab import PPT_CLASS_NAMES_INSSEG, PPT_VALID_INDEX
+from ponderv2_tpu.datasets.preprocessing.scannet200_constants import (
+    CLASS_LABELS_200,
+)
 
 _base_ = ["../_base_/default_runtime.py"]
 
-num_classes = 20
-names = [
-    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
-    "window", "bookshelf", "picture", "counter", "desk", "curtain",
-    "refrigerator", "shower curtain", "toilet", "sink", "bathtub",
-    "otherfurniture",
-]
-
+num_classes = 200
+names = list(CLASS_LABELS_200)
 
 batch_size = 12
 batch_size_val = 1
 num_worker = 12
 mix_prob = 0.8
-epoch = 800
+epoch = 600
 eval_epoch = 100
 point_budget = 1_572_864
 point_budget_val = 262_144
@@ -25,28 +23,37 @@ sparse_shape = (1024, 1024, 512)
 weight = "exp/scannet/pretrain-ponder-ppt-v1m1/model/model_last.pth"
 
 model = dict(
-    type="PPT-v1m1",
+    type="DefaultSegmentor",
     backbone=dict(
-        type="SpUNet-v1m3",
-        in_channels=6,
-        num_classes=0,
-        channels=(32, 64, 128, 256, 256, 128, 96, 96),
-        layers=(2, 3, 4, 6, 2, 2, 2, 2),
-        conditions=("Structured3D", "ScanNet", "S3DIS"),
-        norm_decouple=True,
-        norm_adaptive=True,
-        norm_affine=True,
+        type="PPT-v1m1",
+        backbone=dict(
+            type="SpUNet-v1m3",
+            in_channels=6,
+            num_classes=num_classes,  # the 200-class head lives in the spunet
+            base_channels=32,
+            context_channels=256,
+            channels=(32, 64, 128, 256, 256, 128, 96, 96),
+            layers=(2, 3, 4, 6, 2, 2, 2, 2),
+            cls_mode=False,
+            conditions=("ScanNet", "S3DIS", "Structured3D"),
+            zero_init=False,
+            norm_decouple=True,
+            norm_adaptive=True,
+            norm_affine=True,
+        ),
+        criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+        backbone_out_channels=96,
         context_channels=256,
+        conditions=("Structured3D", "ScanNet", "S3DIS"),
+        template="[x]",
+        class_name=PPT_CLASS_NAMES_INSSEG,
+        valid_index=PPT_VALID_INDEX,
+        backbone_mode=True,
     ),
     criteria=[
         dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
         dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
     ],
-    backbone_out_channels=96,
-    context_channels=256,
-    conditions=("Structured3D", "ScanNet", "S3DIS"),
-    class_name=PPT_CLASS_NAMES,
-    valid_index=PPT_VALID_INDEX,
 )
 
 optimizer = dict(type="SGD", lr=0.05, momentum=0.9, weight_decay=1e-4, nesterov=True)
@@ -72,18 +79,7 @@ _train_transform = [
     dict(type="CenterShift", apply_z=False),
     dict(type="NormalizeColor"),
     dict(type="ShufflePoint"),
-    dict(type="Add", keys_dict=dict(condition="ScanNet")),
-    dict(type="Collect", keys=("coord", "grid_coord", "segment", "condition"),
-         feat_keys=("color", "normal")),
-]
-
-_val_transform = [
-    dict(type="CenterShift", apply_z=True),
-    dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train",
-         return_grid_coord=True),
-    dict(type="CenterShift", apply_z=False),
-    dict(type="NormalizeColor"),
-    dict(type="Add", keys_dict=dict(condition="ScanNet")),
+    dict(type="Add", keys_dict={"condition": "ScanNet"}),
     dict(type="Collect", keys=("coord", "grid_coord", "segment", "condition"),
          feat_keys=("color", "normal")),
 ]
@@ -92,12 +88,34 @@ data = dict(
     num_classes=num_classes,
     ignore_index=-1,
     names=names,
-    train=dict(type="ScanNetDataset", split="train", data_root="data/scannet",
-               transform=_train_transform, test_mode=False),
-    val=dict(type="ScanNetDataset", split="val", data_root="data/scannet",
-             transform=_val_transform, test_mode=False),
+    train=dict(
+        type="ScanNet200Dataset",
+        split="train",
+        data_root="data/scannet",
+        transform=_train_transform,
+        test_mode=False,
+    ),
+    val=dict(
+        type="ScanNet200Dataset",
+        split="val",
+        data_root="data/scannet",
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train",
+                 return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="Add", keys_dict={"condition": "ScanNet"}),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment",
+                                       "condition"),
+                 feat_keys=("color", "normal")),
+        ],
+        test_mode=False,
+    ),
     test=dict(
-        type="ScanNetDataset", split="val", data_root="data/scannet",
+        type="ScanNet200Dataset",
+        split="val",
+        data_root="data/scannet",
         transform=[
             dict(type="CenterShift", apply_z=True),
             dict(type="NormalizeColor"),
@@ -110,9 +128,9 @@ data = dict(
             crop=None,
             post_transform=[
                 dict(type="CenterShift", apply_z=False),
-                dict(type="Add", keys_dict=dict(condition="ScanNet")),
-                dict(type="Collect",
-                     keys=("coord", "grid_coord", "index", "condition"),
+                dict(type="Add", keys_dict={"condition": "ScanNet"}),
+                dict(type="Collect", keys=("coord", "grid_coord", "index",
+                                           "condition"),
                      feat_keys=("color", "normal")),
             ],
             aug_transform=[

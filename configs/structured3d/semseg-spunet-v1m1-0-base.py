@@ -1,52 +1,35 @@
-# ScanNet semseg fine-tune from PonderV2 PPT pretraining (language-guided)
-# (reference configs/scannet/semseg-ppt-v1m1-0-sc-s3-st-spunet-lovasz-ft.py)
-from ponderv2_tpu.datasets.ppt_vocab import PPT_CLASS_NAMES, PPT_VALID_INDEX
-
+# Structured3D semantic segmentation, SpUNet from scratch
+# (reference configs/structured3d/semseg-spunet-v1m1-0-base.py)
 _base_ = ["../_base_/default_runtime.py"]
 
-num_classes = 20
+num_classes = 25
 names = [
     "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
-    "window", "bookshelf", "picture", "counter", "desk", "curtain",
-    "refrigerator", "shower curtain", "toilet", "sink", "bathtub",
-    "otherfurniture",
+    "window", "picture", "desk", "shelves", "curtain", "dresser", "pillow",
+    "mirror", "ceiling", "refrigerator", "television", "nightstand", "sink",
+    "lamp", "otherstructure", "otherfurniture", "otherprop",
 ]
-
 
 batch_size = 12
 batch_size_val = 1
 num_worker = 12
 mix_prob = 0.8
-epoch = 800
+epoch = 100
 eval_epoch = 100
 point_budget = 1_572_864
 point_budget_val = 262_144
 sparse_shape = (1024, 1024, 512)
-weight = "exp/scannet/pretrain-ponder-ppt-v1m1/model/model_last.pth"
 
 model = dict(
-    type="PPT-v1m1",
+    type="DefaultSegmentor",
     backbone=dict(
-        type="SpUNet-v1m3",
+        type="SpUNet-v1m1",
         in_channels=6,
-        num_classes=0,
+        num_classes=num_classes,
         channels=(32, 64, 128, 256, 256, 128, 96, 96),
         layers=(2, 3, 4, 6, 2, 2, 2, 2),
-        conditions=("Structured3D", "ScanNet", "S3DIS"),
-        norm_decouple=True,
-        norm_adaptive=True,
-        norm_affine=True,
-        context_channels=256,
     ),
-    criteria=[
-        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
-        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
-    ],
-    backbone_out_channels=96,
-    context_channels=256,
-    conditions=("Structured3D", "ScanNet", "S3DIS"),
-    class_name=PPT_CLASS_NAMES,
-    valid_index=PPT_VALID_INDEX,
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
 )
 
 optimizer = dict(type="SGD", lr=0.05, momentum=0.9, weight_decay=1e-4, nesterov=True)
@@ -72,19 +55,7 @@ _train_transform = [
     dict(type="CenterShift", apply_z=False),
     dict(type="NormalizeColor"),
     dict(type="ShufflePoint"),
-    dict(type="Add", keys_dict=dict(condition="ScanNet")),
-    dict(type="Collect", keys=("coord", "grid_coord", "segment", "condition"),
-         feat_keys=("color", "normal")),
-]
-
-_val_transform = [
-    dict(type="CenterShift", apply_z=True),
-    dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train",
-         return_grid_coord=True),
-    dict(type="CenterShift", apply_z=False),
-    dict(type="NormalizeColor"),
-    dict(type="Add", keys_dict=dict(condition="ScanNet")),
-    dict(type="Collect", keys=("coord", "grid_coord", "segment", "condition"),
+    dict(type="Collect", keys=("coord", "grid_coord", "segment"),
          feat_keys=("color", "normal")),
 ]
 
@@ -92,12 +63,32 @@ data = dict(
     num_classes=num_classes,
     ignore_index=-1,
     names=names,
-    train=dict(type="ScanNetDataset", split="train", data_root="data/scannet",
-               transform=_train_transform, test_mode=False),
-    val=dict(type="ScanNetDataset", split="val", data_root="data/scannet",
-             transform=_val_transform, test_mode=False),
+    train=dict(
+        type="Structured3DDataset",
+        split="train",
+        data_root="data/structured3d",
+        transform=_train_transform,
+        test_mode=False,
+    ),
+    val=dict(
+        type="Structured3DDataset",
+        split="val",
+        data_root="data/structured3d",
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train",
+                 return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "normal")),
+        ],
+        test_mode=False,
+    ),
     test=dict(
-        type="ScanNetDataset", split="val", data_root="data/scannet",
+        type="Structured3DDataset",
+        split="val",
+        data_root="data/structured3d",
         transform=[
             dict(type="CenterShift", apply_z=True),
             dict(type="NormalizeColor"),
@@ -110,19 +101,11 @@ data = dict(
             crop=None,
             post_transform=[
                 dict(type="CenterShift", apply_z=False),
-                dict(type="Add", keys_dict=dict(condition="ScanNet")),
-                dict(type="Collect",
-                     keys=("coord", "grid_coord", "index", "condition"),
+                dict(type="Collect", keys=("coord", "grid_coord", "index"),
                      feat_keys=("color", "normal")),
             ],
             aug_transform=[
                 [dict(type="RandomRotateTargetAngle", angle=[0], axis="z",
-                      center=[0, 0, 0], p=1)],
-                [dict(type="RandomRotateTargetAngle", angle=[1 / 2], axis="z",
-                      center=[0, 0, 0], p=1)],
-                [dict(type="RandomRotateTargetAngle", angle=[1], axis="z",
-                      center=[0, 0, 0], p=1)],
-                [dict(type="RandomRotateTargetAngle", angle=[3 / 2], axis="z",
                       center=[0, 0, 0], p=1)],
             ],
         ),

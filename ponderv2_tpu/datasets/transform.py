@@ -824,9 +824,12 @@ class RaySample:
     """Sample supervision rays camera-origin -> lidar point (reference
     transform.py:318-378): emits fixed-size ray_start/ray_end/ray_rgb (+labels)."""
 
-    def __init__(self, point_nsample=512, point_ratio=None):
+    def __init__(self, point_nsample=512, point_ratio=None, fetch_color=True,
+                 fetch_segment=True):
         self.point_nsample = point_nsample
         self.point_ratio = point_ratio
+        self.fetch_color = fetch_color
+        self.fetch_segment = fetch_segment
 
     def __call__(self, data_dict):
         view_id = data_dict["point_view_id"]
@@ -847,8 +850,9 @@ class RaySample:
             valid = np.ones(n, bool)
         data_dict["ray_start"] = cam_origin[np.maximum(view_id[pick], 0)].astype(np.float32)
         data_dict["ray_end"] = coord[pick].astype(np.float32)
-        data_dict["ray_rgb"] = data_dict["point_color"][pick].astype(np.float32)
-        if "segment" in data_dict:
+        if self.fetch_color:  # reference fetch_color (transform.py:318-378)
+            data_dict["ray_rgb"] = data_dict["point_color"][pick].astype(np.float32)
+        if self.fetch_segment and "segment" in data_dict:
             seg = data_dict["segment"][pick]
             data_dict["ray_segment"] = np.where(valid, seg, -1).astype(np.int64)
         data_dict["ray_valid"] = valid

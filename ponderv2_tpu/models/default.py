@@ -50,7 +50,12 @@ class DefaultSegmentor(nn.Module):
 
     def __call__(self, input_dict: Dict[str, Any], train: bool = True) -> Dict:
         st = batch_to_sparse_tensor(input_dict)
-        if self.sort_input:
+        if getattr(self.backbone_net, "_takes_input_dict", False):
+            # model-style backbone (e.g. PPT-v1m1 in backbone_mode, used by the
+            # reference insseg/semseg ft configs): it consumes the input_dict
+            bout = self.backbone_net(input_dict, train=train)
+            seg_logits = bout.get("feat", bout.get("seg_logits"))
+        elif self.sort_input:
             st_sorted, inverse = sort_by_key(st)
             seg_logits = self.backbone_net(st_sorted, train=train)[inverse]
         else:

@@ -45,10 +45,14 @@ class PointGroup(nn.Module):
 
     def __call__(self, input_dict: Dict[str, Any], train: bool = True) -> Dict:
         st = batch_to_sparse_tensor(input_dict)
-        from ...ops.sparse import sort_by_key
+        if getattr(self.backbone_net, "_takes_input_dict", False):
+            # PPT-v1m1 backbone_mode (reference insseg-ppt-...-ft configs)
+            feat = self.backbone_net(input_dict, train=train)["feat"]
+        else:
+            from ...ops.sparse import sort_by_key
 
-        st_sorted, inverse = sort_by_key(st)
-        feat = self.backbone_net(st_sorted, train=train)[inverse]
+            st_sorted, inverse = sort_by_key(st)
+            feat = self.backbone_net(st_sorted, train=train)[inverse]
         bias_pred = self.bias_head(feat)  # (N, 3)
         logits = self.seg_head(feat)  # (N, K)
         mask = st.mask

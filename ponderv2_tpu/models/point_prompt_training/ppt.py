@@ -27,6 +27,10 @@ from ..losses.builder import build_criteria
 
 @MODELS.register_module(name="PPT-v1m1")
 class PointPromptTraining(nn.Module):
+    # consumed as a *model*, not a sparse-tensor backbone: wrappers
+    # (DefaultSegmentor, PG-v1m1) must pass the input_dict through
+    _takes_input_dict = True
+
     backbone: Any = None
     criteria: Any = None
     backbone_out_channels: int = 96
@@ -99,6 +103,8 @@ class PointPromptTraining(nn.Module):
 @MODELS.register_module(name="PPT-v1m2")
 class PointPromptTrainingDecoupled(nn.Module):
     """Decoupled per-dataset linear segmentation heads (no CLIP)."""
+
+    _takes_input_dict = True
 
     backbone: Any = None
     criteria: Any = None

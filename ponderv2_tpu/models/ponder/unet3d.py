@@ -100,10 +100,13 @@ class UNet3Dv1m1(Abstract3DUNet):
 
 @MODELS.register_module(name="UNet3D-v1m2")
 class UNet3Dv1m2(Abstract3DUNet):
-    """SingleConv, groupnorm(1), regression mode — the indoor pretrain projector."""
+    """SingleConv, groupnorm(1), regression mode — the indoor pretrain projector.
+
+    Reference defaults (unet3d.py:710-743): f_maps=32, num_levels=4."""
 
     double_conv: bool = False
     num_groups: int = 1
+    num_levels: int = 4
     is_segmentation: bool = False
 
 
