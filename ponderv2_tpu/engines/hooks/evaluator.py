@@ -146,25 +146,91 @@ class ClsEvaluator(HookBase):
         trainer.comm_info["current_metric_name"] = "allAcc"
 
 
-def _average_precision(scores, matched, num_gt):
-    """AP from scored predictions with binary match flags (all-point interp)."""
-    if num_gt == 0:
-        return float("nan")
-    if len(scores) == 0:
-        return 0.0
-    order = np.argsort(-np.asarray(scores))
-    matched = np.asarray(matched)[order]
-    tp = np.cumsum(matched)
-    fp = np.cumsum(~matched)
-    recall = tp / num_gt
-    precision = tp / np.maximum(tp + fp, 1)
-    # envelope + integrate
-    precision = np.concatenate([[0.0], precision, [0.0]])
-    recall = np.concatenate([[0.0], recall, [recall[-1] if len(recall) else 0.0]])
-    for i in range(len(precision) - 2, -1, -1):
-        precision[i] = max(precision[i], precision[i + 1])
-    idx = np.where(recall[1:] != recall[:-1])[0]
-    return float(np.sum((recall[idx + 1] - recall[idx]) * precision[idx + 1]))
+def _associate_scene(preds, gt, valid_classes, segment_ignore_index,
+                     min_region_size):
+    """Associate one scene's predictions with its gt instances.
+
+    Mirrors reference ``associate_instances`` (hooks/evaluator.py:233-306):
+    gt instances take the segment id at their first occurrence; predictions
+    below ``min_region_size`` are dropped; each prediction records its
+    ``void_intersection`` (overlap with ignored-segment points) and the pair
+    intersections with every gt instance of its class.
+    """
+    inst = np.asarray(gt["instance"])
+    seg = np.asarray(gt["segment"])
+    void_mask = np.isin(seg, list(segment_ignore_index))
+
+    gt_instances = {c: [] for c in valid_classes}
+    ids, first, counts = np.unique(inst, return_index=True, return_counts=True)
+    for iid, fi, cnt in zip(ids, first, counts):
+        if iid < 0:
+            continue
+        cls = int(seg[fi])
+        if cls in segment_ignore_index or cls not in gt_instances:
+            continue
+        gt_instances[cls].append(dict(
+            instance_id=int(iid), segment_id=cls, vert_count=int(cnt),
+            matched_pred=[],
+        ))
+
+    pred_instances = {c: [] for c in valid_classes}
+    uid = 0
+    for p in preds:
+        cls = int(p["cls"])
+        if cls in segment_ignore_index or cls not in pred_instances:
+            continue
+        mask = np.asarray(p["mask"], bool)
+        vert_count = int(np.count_nonzero(mask))
+        if vert_count < min_region_size:
+            continue  # reference: skip tiny proposals entirely
+        pred_inst = dict(
+            uuid=uid, confidence=float(p["score"]), vert_count=vert_count,
+            void_intersection=int(np.count_nonzero(void_mask & mask)),
+            matched_gt=[],
+        )
+        uid += 1
+        for gt_inst in gt_instances[cls]:
+            intersection = int(np.count_nonzero(
+                (inst == gt_inst["instance_id"]) & mask
+            ))
+            if intersection > 0:
+                pred_inst["matched_gt"].append(
+                    dict(gt_inst, intersection=intersection)
+                )
+                gt_inst["matched_pred"].append(
+                    dict(pred_inst, intersection=intersection,
+                         matched_gt=None)
+                )
+        pred_instances[cls].append(pred_inst)
+    return gt_instances, pred_instances
+
+
+def _scannet_ap(y_true, y_score, hard_false_negatives):
+    """ScanNet-protocol AP from matched flags + confidences
+    (reference hooks/evaluator.py:429-480, incl. ScanNet PR #26 fix)."""
+    order = np.argsort(y_score)
+    y_score_sorted = y_score[order]
+    y_true_sorted = y_true[order]
+    y_true_cumsum = np.cumsum(y_true_sorted)
+    thresholds, unique_idx = np.unique(y_score_sorted, return_index=True)
+    num_prec_recall = len(unique_idx) + 1
+    num_examples = len(y_score_sorted)
+    num_true = y_true_cumsum[-1] if len(y_true_cumsum) > 0 else 0
+    precision = np.zeros(num_prec_recall)
+    recall = np.zeros(num_prec_recall)
+    y_true_cumsum = np.append(y_true_cumsum, 0)
+    for res_i, score_i in enumerate(unique_idx):
+        cumsum = y_true_cumsum[score_i - 1]
+        tp = num_true - cumsum
+        fp = num_examples - score_i - tp
+        fn = cumsum + hard_false_negatives
+        precision[res_i] = float(tp) / (tp + fp)
+        recall[res_i] = float(tp) / (tp + fn)
+    precision[-1] = 1.0
+    recall[-1] = 0.0
+    recall_conv = np.append(np.append(recall[0], recall), 0.0)
+    step_widths = np.convolve(recall_conv, [-0.5, 0, 0.5], "valid")
+    return float(np.dot(precision, step_widths))
 
 
 def evaluate_instance_ap(
@@ -176,65 +242,119 @@ def evaluate_instance_ap(
 ):
     """ScanNet-protocol instance AP (reference hooks/evaluator.py:233-510).
 
+    Full protocol: greedy per-threshold matching with global pred_visited,
+    duplicate matches demoted to false positives at the lower confidence,
+    unmatched gts as hard false negatives, unmatched predictions discounted
+    when mostly covered by void/ignored/small-gt points
+    (``proportion_ignore > overlap_th``), and the ScanNet step-width PR
+    integration.
+
     scene_preds: per scene, list of dicts {mask (N,), cls, score}.
     scene_gts: per scene, dict {instance (N,), segment (N,)}.
-    Returns dict(mAP, mAP25, mAP50, per-class APs).
+    Returns dict(mAP, mAP25, mAP50, ap_table (T+... x num_classes)).
     """
-    thresholds = np.arange(0.5, 0.96, 0.05)
+    overlaps = np.append(np.arange(0.5, 0.95, 0.05), 0.25)
     valid_classes = [
         c for c in range(num_classes) if c not in segment_ignore_index
     ]
-    ap_table = np.full((len(thresholds) + 1, num_classes), np.nan)
-    all_t = [0.25] + list(thresholds)
+    scenes = [
+        _associate_scene(p, g, valid_classes, segment_ignore_index,
+                         min_region_size)
+        for p, g in zip(scene_preds, scene_gts)
+    ]
 
-    for ti, t in enumerate(all_t):
+    ap_table = np.full((len(overlaps), num_classes), np.nan)
+    for oi, overlap_th in enumerate(overlaps):
         for c in valid_classes:
-            scores, matched, num_gt = [], [], 0
-            for preds, gt in zip(scene_preds, scene_gts):
-                inst = np.asarray(gt["instance"])
-                seg = np.asarray(gt["segment"])
-                gt_masks = []
-                for i in np.unique(inst[inst >= 0]):
-                    m = inst == i
-                    cls_votes = seg[m]
-                    cls_votes = cls_votes[cls_votes >= 0]
-                    if len(cls_votes) == 0:
-                        continue
-                    gcls = np.bincount(cls_votes).argmax()
-                    if gcls == c and m.sum() >= min_region_size:
-                        gt_masks.append(m)
-                num_gt += len(gt_masks)
-                used = np.zeros(len(gt_masks), bool)
-                c_preds = sorted(
-                    [p for p in preds if p["cls"] == c],
-                    key=lambda p: -p["score"],
-                )
-                for p in c_preds:
-                    pm = np.asarray(p["mask"])
-                    best_iou, best_j = 0.0, -1
-                    for j, gm in enumerate(gt_masks):
-                        if used[j]:
+            pred_visited = {
+                (si, p["uuid"]): False
+                for si, (_, pi) in enumerate(scenes)
+                for p in pi[c]
+            }
+            y_true = np.empty(0)
+            y_score = np.empty(0)
+            hard_false_negatives = 0
+            has_gt = has_pred = False
+            for si, (gt_instances, pred_instances) in enumerate(scenes):
+                gts = [g for g in gt_instances[c]
+                       if g["vert_count"] >= min_region_size]
+                if gts:
+                    has_gt = True
+                if pred_instances[c]:
+                    has_pred = True
+                cur_true = np.ones(len(gts))
+                cur_score = np.full(len(gts), -np.inf)
+                cur_match = np.zeros(len(gts), bool)
+                for gi, g in enumerate(gts):
+                    found_match = False
+                    for p in g["matched_pred"]:
+                        if pred_visited[(si, p["uuid"])]:
                             continue
-                        inter_ = np.logical_and(pm, gm).sum()
-                        union_ = np.logical_or(pm, gm).sum()
-                        iou = inter_ / max(union_, 1)
-                        if iou > best_iou:
-                            best_iou, best_j = iou, j
-                    hit = best_iou >= t
-                    if hit:
-                        used[best_j] = True
-                    scores.append(p["score"])
-                    matched.append(hit)
-            ap_table[ti, c] = _average_precision(scores, matched, num_gt)
+                        overlap = p["intersection"] / (
+                            g["vert_count"] + p["vert_count"]
+                            - p["intersection"]
+                        )
+                        if overlap > overlap_th:
+                            confidence = p["confidence"]
+                            if cur_match[gi]:
+                                # duplicate: lower-confidence match is an FP
+                                max_s = max(cur_score[gi], confidence)
+                                min_s = min(cur_score[gi], confidence)
+                                cur_score[gi] = max_s
+                                cur_true = np.append(cur_true, 0)
+                                cur_score = np.append(cur_score, min_s)
+                                cur_match = np.append(cur_match, True)
+                            else:
+                                found_match = True
+                                cur_match[gi] = True
+                                cur_score[gi] = confidence
+                                pred_visited[(si, p["uuid"])] = True
+                    if not found_match:
+                        hard_false_negatives += 1
+                cur_true = cur_true[cur_match]
+                cur_score = cur_score[cur_match]
+                # unmatched predictions -> FP unless mostly void/ignored
+                for p in pred_instances[c]:
+                    found_gt = False
+                    for g in p["matched_gt"]:
+                        overlap = g["intersection"] / (
+                            g["vert_count"] + p["vert_count"]
+                            - g["intersection"]
+                        )
+                        if overlap > overlap_th:
+                            found_gt = True
+                            break
+                    if not found_gt:
+                        num_ignore = p["void_intersection"]
+                        for g in p["matched_gt"]:
+                            if (g["segment_id"] in segment_ignore_index
+                                    or g["vert_count"] < min_region_size):
+                                num_ignore += g["intersection"]
+                        if num_ignore / p["vert_count"] <= overlap_th:
+                            cur_true = np.append(cur_true, 0)
+                            cur_score = np.append(cur_score, p["confidence"])
+                y_true = np.append(y_true, cur_true)
+                y_score = np.append(y_score, cur_score)
 
-    def _mean(rows):
-        vals = rows[:, valid_classes]
+            if has_gt and has_pred:
+                ap = _scannet_ap(y_true, y_score, hard_false_negatives)
+            elif has_gt:
+                ap = 0.0
+            else:
+                ap = float("nan")
+            ap_table[oi, c] = ap
+
+    o25 = np.isclose(overlaps, 0.25)
+    o50 = np.isclose(overlaps, 0.5)
+
+    def _mean(sel):
+        vals = ap_table[np.ix_(sel, valid_classes)]
         return float(np.nanmean(vals)) if np.isfinite(vals).any() else 0.0
 
     return dict(
-        mAP25=_mean(ap_table[0:1]),
-        mAP50=_mean(ap_table[1:2]),
-        mAP=_mean(ap_table[1:]),
+        mAP25=_mean(o25),
+        mAP50=_mean(o50),
+        mAP=_mean(~o25),
         ap_table=ap_table,
     )
 

@@ -204,7 +204,9 @@ class SemSegTester(TesterBase):
                 os.path.join(submit_dir, f"{name}.txt"), remapped, fmt="%d"
             )
         elif "NuScenes" in ds_type:
-            # lidarseg bin: uint8 labels in the original 32-class space + 1
+            # lidarseg bin: uint8 = 16-class learning-space pred + 1, exactly
+            # as the reference writes it (test.py:279-288 does `pred + 1` with
+            # no inverse learning map)
             np.asarray(pred + 1, np.uint8).tofile(
                 os.path.join(submit_dir, f"{name}_lidarseg.bin")
             )

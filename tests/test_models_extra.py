@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; smoke tier skips
+
 from ponderv2_tpu.models import build_model
 
 SMALL_PD_BACKBONE = dict(
@@ -206,3 +208,66 @@ class TestLosses:
                     dict(type="SmoothCELoss")):
             loss = LOSSES.build(cfg)(logits, labels)
             assert np.isfinite(float(loss))
+
+
+class TestInstanceAPProtocol:
+    """ScanNet-protocol specifics (reference hooks/evaluator.py:233-510):
+    void-overlap discount, hard false negatives, strict > threshold."""
+
+    def _eval(self, preds, instance, segment, **kw):
+        from ponderv2_tpu.engines.hooks.evaluator import evaluate_instance_ap
+
+        return evaluate_instance_ap(
+            [preds], [dict(instance=instance, segment=segment)],
+            num_classes=5, segment_ignore_index=(-1, 0, 1), **kw
+        )
+
+    def test_void_dominated_prediction_not_fp(self):
+        # gt: one 120-pt instance of class 2; 200 void points (segment 0)
+        instance = np.concatenate([np.zeros(120, int), np.full(200, -1)])
+        segment = np.concatenate([np.full(120, 2), np.zeros(200, int)])
+        good = dict(mask=instance == 0, cls=2, score=0.9)
+        # higher-scored than the true positive, so an FP here would dent AP
+        void_pred = dict(
+            mask=np.concatenate([np.zeros(120, bool), np.ones(200, bool)]),
+            cls=2, score=0.95,
+        )
+        res = self._eval([good, void_pred], instance, segment)
+        # the void-dominated proposal is ignored, not a false positive
+        assert res["mAP"] == pytest.approx(1.0)
+        # without the discount (void points relabeled to a valid class) it IS an FP
+        segment_no_void = np.concatenate([np.full(120, 2), np.full(200, 3)])
+        instance2 = np.concatenate([np.zeros(120, int), np.full(200, -1)])
+        res2 = self._eval([good, void_pred], instance2, segment_no_void)
+        assert res2["mAP"] < 1.0
+
+    def test_hard_false_negative_halves_ap(self):
+        # two gts, one matched -> recall caps at 0.5 -> AP 0.5
+        instance = np.repeat([0, 1], 100)
+        segment = np.full(200, 2)
+        preds = [dict(mask=instance == 0, cls=2, score=0.9)]
+        res = self._eval(preds, instance, segment)
+        assert res["mAP50"] == pytest.approx(0.5)
+
+    def test_strict_overlap_threshold(self):
+        # pred covers exactly half the gt: IoU 0.5 is NOT > 0.5 -> miss at 50,
+        # but > 0.25 -> hit at 25
+        instance = np.zeros(200, int)
+        segment = np.full(200, 2)
+        mask = np.zeros(200, bool)
+        mask[:100] = True
+        preds = [dict(mask=mask, cls=2, score=0.9)]
+        res = self._eval(preds, instance, segment)
+        assert res["mAP50"] == pytest.approx(0.0)
+        assert res["mAP25"] == pytest.approx(1.0)
+
+    def test_small_prediction_skipped(self):
+        # sub-min_region proposals are dropped entirely (not FPs)
+        instance = np.zeros(200, int)
+        segment = np.full(200, 2)
+        good = dict(mask=np.ones(200, bool), cls=2, score=0.9)
+        tiny = np.zeros(200, bool)
+        tiny[:10] = True
+        preds = [good, dict(mask=tiny, cls=2, score=0.95)]
+        res = self._eval(preds, instance, segment)
+        assert res["mAP"] == pytest.approx(1.0)
