@@ -17,14 +17,14 @@ import jax.numpy as jnp
 
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
-    build_inverse_rulebook,
     build_strided_plan,
     build_subm_rulebook,
+    invert_strided_rulebook,
 )
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm
 from .layers import InverseConv, StridedConv, SubMConv
-from .spunet import BasicBlock, capacity_schedule
+from .spunet import BasicBlock, BlockStack, capacity_schedule
 
 
 class Bottleneck(nn.Module):
@@ -65,6 +65,29 @@ class MinkUNetBase(nn.Module):
     bn_momentum: float = 0.01
     capacities: Optional[Sequence[int]] = None
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+    scan_blocks: bool = True  # nn.scan uniform basic-block stacks
+
+    def _blocks(self, x, rb, train, ch, n_blocks, block_cls, prefix,
+                first_standalone):
+        """Run a stage's residual blocks; uniform basic stacks get nn.scan."""
+        use_scan = self.scan_blocks and self.block_type == "basic"
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
+        start = 0
+        if first_standalone or not use_scan:
+            k = 1 if (use_scan and first_standalone) else n_blocks
+            for b in range(k):
+                x = block_cls(ch, self.bn_eps, self.bn_momentum,
+                              self.compute_dtype, name=f"{prefix}_b{b}")(
+                    x, rb, train
+                )
+            start = k
+        if use_scan and n_blocks - start > 0:
+            x = BlockStack(ch, n_blocks - start, self.bn_eps, self.bn_momentum,
+                           self.compute_dtype, self.remat,
+                           name=f"{prefix}_blocks")(x, rb, train)
+        return x
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> jnp.ndarray:
@@ -84,10 +107,12 @@ class MinkUNetBase(nn.Module):
 
         skips = [x]
         rbs = [None] * (num_stages + 1)
+        down_rulebooks = [None] * num_stages  # kept: decoder inverts them
         for s in range(num_stages):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
+            down_rulebooks[s] = plan.rulebook
             ch = self.planes[s] * expansion
             x = StridedConv(ch, 2, 2, 0, compute_dtype=self.compute_dtype,
                             name=f"down{s}")(x, plan)
@@ -95,16 +120,16 @@ class MinkUNetBase(nn.Module):
             x = x.replace(features=h)
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
             rbs[s + 1] = rb
-            for b in range(self.layers[s]):
-                x = block_cls(ch, self.bn_eps, self.bn_momentum,
-                              self.compute_dtype, name=f"enc{s}_b{b}")(x, rb, train)
+            x = self._blocks(x, rb, train, ch, self.layers[s], block_cls,
+                             f"enc{s}", first_standalone=False)
             skips.append(x)
 
         for s in range(num_stages):
             ch = self.planes[num_stages + s] * expansion
             skip = skips[num_stages - 1 - s]
-            rb_inv = build_inverse_rulebook(
-                x.coords, x.spatial_shape, x.batch_size, skip.coords, 2, 2, 0
+            # indice_key reuse: invert the encoder's down rulebook (no lookups)
+            rb_inv = invert_strided_rulebook(
+                down_rulebooks[num_stages - 1 - s], skip.capacity
             )
             x = InverseConv(ch, 2, 2, 0, compute_dtype=self.compute_dtype,
                             name=f"up{s}")(x, skip.coords, skip.spatial_shape, rb_inv)
@@ -116,9 +141,8 @@ class MinkUNetBase(nn.Module):
             if rb is None:
                 rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
                 rbs[level] = rb
-            for b in range(self.layers[num_stages + s]):
-                x = block_cls(ch, self.bn_eps, self.bn_momentum,
-                              self.compute_dtype, name=f"dec{s}_b{b}")(x, rb, train)
+            x = self._blocks(x, rb, train, ch, self.layers[num_stages + s],
+                             block_cls, f"dec{s}", first_standalone=True)
 
         if self.out_channels == 0:
             return x.features

@@ -317,10 +317,12 @@ class SpUNetNoSkip(nn.Module):
 
         coords_per_level = [x.coords]
         shapes_per_level = [x.spatial_shape]
+        down_rulebooks = [None] * num_stages
         for s in range(num_stages):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
+            down_rulebooks[s] = plan.rulebook
             x = StridedConv(self.channels[s], 2, 2, 0,
                             compute_dtype=self.compute_dtype, name=f"down{s}")(x, plan)
             h = bn(self.channels[s], name=f"down{s}_bn")(x.features, x.mask, train)
@@ -338,8 +340,8 @@ class SpUNetNoSkip(nn.Module):
             dec_channels = self.channels[num_stages + s]
             fine_coords = coords_per_level[num_stages - 1 - s]
             fine_shape = shapes_per_level[num_stages - 1 - s]
-            rb_inv = build_inverse_rulebook(
-                x.coords, x.spatial_shape, x.batch_size, fine_coords, 2, 2, 0
+            rb_inv = invert_strided_rulebook(
+                down_rulebooks[num_stages - 1 - s], fine_coords.shape[0]
             )
             x = InverseConv(dec_channels, 2, 2, 0,
                             compute_dtype=self.compute_dtype, name=f"up{s}")(

@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
-    build_inverse_rulebook,
     build_strided_plan,
     build_subm_rulebook,
+    invert_strided_rulebook,
 )
 from ...ops.scatter import segment_mean
 from ..builder import MODELS
@@ -71,6 +71,54 @@ class PDBasicBlock(nn.Module):
         return st.replace(features=jnp.where(st.mask[:, None], out, 0.0))
 
 
+class _ScanPDBasicBlock(PDBasicBlock):
+    """PDBasicBlock adapted to nn.scan's (carry, out) contract."""
+
+    def __call__(self, st, rulebook, train, condition_idx, context):
+        return super().__call__(st, rulebook, train, condition_idx, context), None
+
+
+class PDBlockStack(nn.Module):
+    """Stack of identical PD residual blocks compiled once via nn.scan
+    (same compile-time collapse as spunet.BlockStack)."""
+
+    channels: int
+    num_blocks: int
+    conditions: Tuple[str, ...]
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+    eps: float = 1e-3
+    momentum: float = 0.01
+    compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, st, rulebook, train, condition_idx, context):
+        body = _ScanPDBasicBlock
+        if self.remat:
+            body = nn.remat(body, static_argnums=(3, 4))
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=self.num_blocks,
+        )(
+            channels=self.channels,
+            conditions=self.conditions,
+            decouple=self.decouple,
+            adaptive=self.adaptive,
+            context_channels=self.context_channels,
+            eps=self.eps,
+            momentum=self.momentum,
+            compute_dtype=self.compute_dtype,
+            name="blocks",
+        )
+        st, _ = scanned(st, rulebook, train, condition_idx, context)
+        return st
+
+
 @MODELS.register_module(name="SpUNet-v1m3")
 class SpUNetPDNorm(nn.Module):
     in_channels: int = 6
@@ -90,6 +138,7 @@ class SpUNetPDNorm(nn.Module):
     capacities: Optional[Sequence[int]] = None
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = True
+    scan_blocks: bool = True  # nn.scan over same-shape blocks (compile-time win)
 
     @nn.compact
     def __call__(
@@ -129,6 +178,17 @@ class SpUNetPDNorm(nn.Module):
             momentum=self.bn_momentum,
             compute_dtype=self.compute_dtype,
         )
+        stack = partial(
+            PDBlockStack,
+            conditions=self.conditions,
+            decouple=self.norm_decouple,
+            adaptive=self.norm_adaptive,
+            context_channels=self.context_channels,
+            eps=self.bn_eps,
+            momentum=self.bn_momentum,
+            compute_dtype=self.compute_dtype,
+            remat=self.remat,
+        )
 
         rb_stem = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
         x = SubMConv(self.base_channels, 5, compute_dtype=self.compute_dtype,
@@ -140,10 +200,12 @@ class SpUNetPDNorm(nn.Module):
 
         skips = [x]
         subm_rulebooks = [None] * (num_stages + 1)
+        down_rulebooks = [None] * num_stages  # kept: decoder inverts them
         for s in range(num_stages):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
+            down_rulebooks[s] = plan.rulebook
             x = StridedConv(self.channels[s], 2, 2, 0,
                             compute_dtype=self.compute_dtype, name=f"down{s}")(x, plan)
             h = norm(features=self.channels[s], name=f"down{s}_bn")(
@@ -152,10 +214,15 @@ class SpUNetPDNorm(nn.Module):
             x = x.replace(features=nn.relu(h))
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
             subm_rulebooks[s + 1] = rb
-            for b in range(self.layers[s]):
-                x = block(channels=self.channels[s], name=f"enc{s}_block{b}")(
-                    x, rb, train, condition_idx, context
-                )
+            if self.scan_blocks:
+                x = stack(channels=self.channels[s], num_blocks=self.layers[s],
+                          name=f"enc{s}_blocks")(x, rb, train, condition_idx,
+                                                 context)
+            else:
+                for b in range(self.layers[s]):
+                    x = block(channels=self.channels[s], name=f"enc{s}_block{b}")(
+                        x, rb, train, condition_idx, context
+                    )
             skips.append(x)
 
         if self.cls_mode:
@@ -167,8 +234,9 @@ class SpUNetPDNorm(nn.Module):
         for s in range(num_stages):
             dec_channels = self.channels[num_stages + s]
             skip = skips[num_stages - 1 - s]
-            rb_inv = build_inverse_rulebook(
-                x.coords, x.spatial_shape, x.batch_size, skip.coords, 2, 2, 0
+            # indice_key reuse: invert the encoder's down rulebook (no lookups)
+            rb_inv = invert_strided_rulebook(
+                down_rulebooks[num_stages - 1 - s], skip.capacity
             )
             x = InverseConv(dec_channels, 2, 2, 0,
                             compute_dtype=self.compute_dtype, name=f"up{s}")(
@@ -185,10 +253,21 @@ class SpUNetPDNorm(nn.Module):
             if rb is None:
                 rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
                 subm_rulebooks[level] = rb
-            for b in range(self.layers[num_stages + s]):
-                x = block(channels=dec_channels, name=f"dec{s}_block{b}")(
+            n_blocks = self.layers[num_stages + s]
+            if self.scan_blocks:
+                # first block changes width (skip concat): run it standalone
+                x = block(channels=dec_channels, name=f"dec{s}_block0")(
                     x, rb, train, condition_idx, context
                 )
+                if n_blocks > 1:
+                    x = stack(channels=dec_channels, num_blocks=n_blocks - 1,
+                              name=f"dec{s}_blocks")(x, rb, train,
+                                                     condition_idx, context)
+            else:
+                for b in range(n_blocks):
+                    x = block(channels=dec_channels, name=f"dec{s}_block{b}")(
+                        x, rb, train, condition_idx, context
+                    )
 
         if self.num_classes > 0:
             logits = nn.Dense(self.num_classes, name="final")(x.features)

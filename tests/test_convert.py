@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; smoke tier skips
+
 
 def fake_reference_state(channels, layers, in_ch=6, num_classes=5, base=8):
     """Construct a reference-named state_dict with correctly-shaped tensors."""

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; smoke tier skips
+
 from ponderv2_tpu.datasets import build_dataset
 from ponderv2_tpu.datasets.utils import collate_fn
 from ponderv2_tpu.engines.common import split_batch

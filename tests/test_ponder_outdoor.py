@@ -1,6 +1,9 @@
 """PonderOutdoor-v2: LiDAR rendering pretraining forward/backward."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy jit compiles; smoke tier skips
 import jax
 import jax.numpy as jnp
 

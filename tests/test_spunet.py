@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; smoke tier skips
+
 from ponderv2_tpu.models import MODELS, build_model
 from ponderv2_tpu.ops.sparse import make_sparse_tensor
 
