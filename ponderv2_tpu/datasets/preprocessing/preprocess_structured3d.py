@@ -51,16 +51,22 @@ def parse_scene_zip(zip_path: str, output_root: str, split: str):
         raise SystemExit("imageio required for Structured3D preprocessing") from e
 
     scene = os.path.splitext(os.path.basename(zip_path))[0]
+    if scene.startswith("Structured3D_"):  # zips ship as Structured3D_scene_XXXXX
+        scene = scene[len("Structured3D_"):]
     with zipfile.ZipFile(zip_path) as zf:
+        # zip-internal prefixes vary (Structured3D/scene_X/..., scene_X/...);
+        # derive (prefix, room) pairs from the member list itself
         rooms = sorted(
             {
-                p.split("/")[2]
+                (p.split("/2D_rendering/")[0],
+                 p.split("/2D_rendering/")[1].split("/")[0])
                 for p in zf.namelist()
-                if "/2D_rendering/" in p and len(p.split("/")) > 3
+                if "/2D_rendering/" in p
+                and len(p.split("/2D_rendering/")[1].split("/")) > 1
             }
         )
-        for room in rooms:
-            base = f"{scene}/2D_rendering/{room}/panorama"
+        for prefix, room in rooms:
+            base = f"{prefix}/2D_rendering/{room}/panorama"
             try:
                 rgb = imageio.imread(
                     io.BytesIO(zf.read(f"{base}/full/rgb_rawlight.png"))

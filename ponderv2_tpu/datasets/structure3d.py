@@ -30,7 +30,9 @@ class Structured3DDataset(DefaultDataset):
     def get_data(self, idx: int) -> Dict[str, Any]:
         path = self.data_list[idx % len(self.data_list)]
         if os.path.isdir(path):
-            files = sorted(glob.glob(os.path.join(path, "*.pth")))
+            files = sorted(glob.glob(os.path.join(path, "*.pth"))) or sorted(
+                glob.glob(os.path.join(path, "*.npz"))
+            )
             data = load_scene(files[0])
         else:
             data = load_scene(path)
