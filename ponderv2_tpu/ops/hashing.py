@@ -21,13 +21,22 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+# Dense-grid membership tables beat sorted-key lookups by ~an order of
+# magnitude on TPU (no multi-million-element XLA sorts; queries are direct
+# int32 reads), at the cost of a (B*X*Y*Z+1,) int32 HBM transient. Used
+# whenever the cell count fits this budget (cells, not bytes; 4 B/cell).
+DENSE_GRID_LIMIT = int(
+    os.environ.get("PONDER_DENSE_GRID_LIMIT", 192 * 1024 * 1024)
+)
 
 
 def key_fits_int32(spatial_shape: Sequence[int], batch_size: int) -> bool:
@@ -69,10 +78,52 @@ class HashTable(NamedTuple):
     single: bool  # static: single int32 key mode
 
 
+class DenseTable(NamedTuple):
+    """Exact dense voxel-grid membership table: grid[pad + key] = row or -1.
+
+    The grid carries ``pad`` sentinel (-1) cells on each side so z-window
+    slice reads (``lookup_zwindow``) never need clamping, plus a dump region
+    at the end for invalid queries."""
+
+    grid: jnp.ndarray  # (pad + num_cells + pad + 1,) int32
+    num_cells: int  # static
+    pad: int  # static
+
+
+def dense_table_fits(spatial_shape: Sequence[int], batch_size: int) -> bool:
+    X, Y, Z = (int(s) for s in spatial_shape)
+    cells = int(batch_size) * X * Y * Z
+    return cells <= DENSE_GRID_LIMIT and key_fits_int32(spatial_shape, batch_size)
+
+
+def build_dense_table(
+    coords: jnp.ndarray, spatial_shape: Sequence[int], batch_size: int,
+    pad: int = 8,
+) -> DenseTable:
+    X, Y, Z = (int(s) for s in spatial_shape)
+    cells = int(batch_size) * X * Y * Z
+    keys = ravel_single(coords, spatial_shape)
+    n = coords.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    tgt = jnp.where(keys != INVALID_KEY, pad + keys, pad + cells + pad)
+    grid = (
+        jnp.full((pad + cells + pad + 1,), -1, jnp.int32)
+        .at[tgt]
+        .set(jnp.where(keys != INVALID_KEY, rows, -1))
+    )
+    return DenseTable(grid, cells, pad)
+
+
 def build_table(
-    coords: jnp.ndarray, spatial_shape: Sequence[int], batch_size: int
-) -> HashTable:
-    """Sort coordinate keys once; reused for many lookups (rulebook construction)."""
+    coords: jnp.ndarray,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    prefer_dense: bool = True,
+) -> Union["HashTable", DenseTable]:
+    """Membership table for rulebook construction: dense grid when it fits
+    (no sorts at all), else a sorted key table."""
+    if prefer_dense and dense_table_fits(spatial_shape, batch_size):
+        return build_dense_table(coords, spatial_shape, batch_size)
     if key_fits_int32(spatial_shape, batch_size):
         keys = ravel_single(coords, spatial_shape)
         order = jnp.argsort(keys)
@@ -105,9 +156,14 @@ def _lex_searchsorted(
 
 
 def lookup(
-    table: HashTable, coords: jnp.ndarray, spatial_shape: Sequence[int]
+    table, coords: jnp.ndarray, spatial_shape: Sequence[int]
 ) -> jnp.ndarray:
     """Query (M, 4) coords against the table -> (M,) int32 original-row index or -1."""
+    if isinstance(table, DenseTable):
+        q = ravel_single(coords, spatial_shape)
+        ok = (q != INVALID_KEY) & (q < table.num_cells)
+        q = jnp.where(ok, table.pad + q, table.pad + table.num_cells)
+        return table.grid[q]
     n = table.sorted_hi.shape[0]
     if table.single:
         q = ravel_single(coords, spatial_shape)

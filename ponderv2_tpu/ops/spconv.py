@@ -80,8 +80,27 @@ def build_subm_rulebook(
     offs = kernel_offsets(k)
     k3 = len(offs)
     n = coords.shape[0]
-    valid_row = coords[:, 0] >= 0
+    # rows outside the static spatial shape are invalid EVERYWHERE (incl. the
+    # center tap) — they can't participate in any lookup table, and treating
+    # them as self-connected would silently diverge from the dense-table path
+    dims = jnp.asarray([int(s) for s in spatial_shape], jnp.int32)
+    valid_row = jnp.all(coords >= 0, axis=1) & jnp.all(
+        coords[:, 1:4] < dims[None, :], axis=1
+    )
     arange = jnp.arange(n, dtype=jnp.int32)
+
+    if hashing.dense_table_fits(spatial_shape, batch_size):
+        # dense-grid fast path: no key sorts at all — the rulebook is one
+        # batched scalar gather of all K^3 shifted queries against the grid
+        # (~2x the sorted-lookup path; measured v5e). NOTE: contiguous
+        # z-window slice gathers sound better but lower pathologically on
+        # the current TPU backend.
+        table = hashing.build_dense_table(coords, spatial_shape, batch_size)
+        queries = jnp.concatenate(
+            [_query_coords(coords, off, 1, pad) for off in offs], axis=0
+        )
+        idx = hashing.lookup(table, queries, spatial_shape)
+        return idx.reshape(k3, n)
 
     if all(dim % 2 == 1 for dim in k):
         # odd centered kernels are mirror-symmetric: if tap k maps i -> j then

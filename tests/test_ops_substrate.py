@@ -32,15 +32,20 @@ def random_coords(rng, n, shape=(20, 20, 20), batch=2, pad=0):
 
 
 class TestHashing:
-    @pytest.mark.parametrize("force_pair", [False, True])
-    def test_lookup_roundtrip(self, rng, force_pair):
-        shape = (3000, 3000, 3000) if force_pair else (30, 30, 30)
-        assert hashing.key_fits_int32(shape, 2) != force_pair
+    @pytest.mark.parametrize("mode", ["dense", "sorted", "pair"])
+    def test_lookup_roundtrip(self, rng, mode):
+        shape = (3000, 3000, 3000) if mode == "pair" else (30, 30, 30)
+        assert hashing.key_fits_int32(shape, 2) != (mode == "pair")
         coords = random_coords(rng, 200, shape=(20, 20, 20), batch=2, pad=16)
         uniq = np.unique(coords[coords[:, 0] >= 0], axis=0)
         uniq = np.concatenate([uniq, np.full((8, 4), -1, np.int32)])
-        table = hashing.build_table(jnp.asarray(uniq), shape, 2)
-        assert table.single != force_pair
+        table = hashing.build_table(
+            jnp.asarray(uniq), shape, 2, prefer_dense=(mode == "dense")
+        )
+        if mode == "dense":
+            assert isinstance(table, hashing.DenseTable)
+        else:
+            assert table.single != (mode == "pair")
         # every table entry finds itself
         idx = np.asarray(hashing.lookup(table, jnp.asarray(uniq), shape))
         valid = uniq[:, 0] >= 0
@@ -51,6 +56,19 @@ class TestHashing:
         present = (uniq[None, valid] == absent[:, None]).all(-1).any(1)
         res = np.asarray(hashing.lookup(table, jnp.asarray(absent), shape))
         assert ((res >= 0) == present).all()
+
+    def test_dense_and_sorted_lookup_agree(self, rng):
+        shape = (40, 40, 40)
+        coords = random_coords(rng, 300, shape=(40, 40, 40), batch=2, pad=20)
+        queries = random_coords(rng, 500, shape=(41, 41, 41), batch=2, pad=12)
+        dense = hashing.build_table(jnp.asarray(coords), shape, 2,
+                                    prefer_dense=True)
+        srt = hashing.build_table(jnp.asarray(coords), shape, 2,
+                                  prefer_dense=False)
+        assert isinstance(dense, hashing.DenseTable)
+        a = np.asarray(hashing.lookup(dense, jnp.asarray(queries), shape))
+        b = np.asarray(hashing.lookup(srt, jnp.asarray(queries), shape))
+        np.testing.assert_array_equal(a, b)
 
     def test_fnv_matches_reference_formula(self):
         coords = np.array([[1, 2, 3, 4], [0, 0, 0, 0]], np.int32)
@@ -123,3 +141,33 @@ class TestOffsets:
         )
         off2 = np.asarray(batch2offset(jnp.asarray(batch), 3))
         np.testing.assert_array_equal(off2, [3, 5, 9])
+
+
+class TestOutOfBoundsRows:
+    def test_subm_rulebook_drops_out_of_shape_rows(self, rng):
+        """Rows whose coords exceed the static spatial shape are invalid
+        everywhere — dense and sorted table paths must agree (regression:
+        the sorted path used to self-connect their center tap)."""
+        import ponderv2_tpu.ops.hashing as H
+        from ponderv2_tpu.ops import spconv as S
+
+        shape = (16, 16, 16)
+        coords = np.array(
+            [[0, 1, 1, 1], [0, 1, 1, 2], [0, 5, 5, 20], [0, 20, 3, 3],
+             [-1, -1, -1, -1]],
+            np.int32,
+        )
+        cj = jnp.asarray(coords)
+        rb_dense = np.asarray(S.build_subm_rulebook(cj, shape, 1, 3))
+        old = H.DENSE_GRID_LIMIT
+        try:
+            H.DENSE_GRID_LIMIT = 0
+            rb_sorted = np.asarray(S.build_subm_rulebook(cj, shape, 1, 3))
+        finally:
+            H.DENSE_GRID_LIMIT = old
+        np.testing.assert_array_equal(rb_dense, rb_sorted)
+        # out-of-shape rows 2,3 and padding row 4: -1 at every tap
+        assert (rb_dense[:, 2:] == -1).all()
+        # in-bounds rows keep their neighbors (center tap = self)
+        assert rb_dense[13, 0] == 0 and rb_dense[13, 1] == 1
+        assert rb_dense[14, 0] == 1 and rb_dense[12, 1] == 0
