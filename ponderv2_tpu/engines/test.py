@@ -124,6 +124,25 @@ class SemSegTester(TesterBase):
             data_dict = dataset[idx]
             name = data_dict["name"]
             segment = np.asarray(data_dict.get("segment"))
+            pred_save_path = os.path.join(save_path, "result", f"{name}_pred.npy")
+            if os.path.isfile(pred_save_path):
+                # per-scene resume (reference test.py:168-175): reuse the
+                # cached prediction instead of re-running inference
+                logger.info(f"{name}: loaded cached prediction")
+                final = np.load(pred_save_path)
+                if segment is not None and segment.ndim > 0:
+                    inter, union, target = intersection_and_union(
+                        final, segment, num_classes, ignore_index
+                    )
+                    inter_sum += inter
+                    union_sum += union
+                    target_sum += target
+                    records[name] = dict(
+                        intersection=inter, union=union, target=target
+                    )
+                if submit:
+                    self.write_submission(name, final, save_path)
+                continue
             fragments = data_dict["fragment_list"]
             num_points = (
                 segment.shape[0] if segment is not None and segment.ndim > 0
@@ -243,26 +262,54 @@ class PartSegTester(TesterBase):
     """Part segmentation tester (reference test.py:417-509): per-category IoU."""
 
     def test(self):
+        """Reference protocol (test.py:417-509): per-sample prediction, parts
+        restricted to the sample's category (``category2part``), per-part IoU
+        with the both-empty -> 1.0 rule; reports ins.mIoU and cat.mIoU."""
         logger = self.logger
         num_classes = self.cfg.data.num_classes
-        iou_cat = np.zeros(num_classes)
-        count = np.zeros(num_classes)
-        for i in range(len(self.test_dataset)):
-            data = self.test_dataset[i]
+        ds = self.test_dataset
+        categories = list(getattr(ds, "categories", ()) or
+                          self.cfg.data.get("categories", ())) or ["all"]
+        category2part = getattr(ds, "category2part", None) or self.cfg.data.get(
+            "category2part", {"all": list(range(num_classes))}
+        )
+        num_categories = len(categories)
+        iou_category = np.zeros(num_categories)
+        iou_count = np.zeros(num_categories)
+        for i in range(len(ds)):
+            data = ds[i]
             batch = collate_fn([data], point_budget=self.cfg.get("point_budget"))
             arrays, _ = split_batch(batch)
             arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
             out = self.eval_fragment(arrays)
-            pred = np.asarray(out["seg_logits"]).argmax(-1)
-            segment = np.asarray(batch["segment"])
             valid = np.asarray(batch["batch"]) >= 0
-            inter, union, _ = intersection_and_union(
-                np.where(valid, pred, -1), np.where(valid, segment, -1), num_classes
+            pred = np.asarray(out["seg_logits"]).argmax(-1)[valid]
+            label = np.asarray(batch["segment"])[valid]
+            ci = 0
+            if "category" in batch:
+                ci = int(np.asarray(batch["category"]).reshape(-1)[0])
+            elif "cls_token" in batch:
+                ci = int(np.asarray(batch["cls_token"]).reshape(-1)[0])
+            ci = min(max(ci, 0), num_categories - 1)
+            parts = category2part.get(categories[ci], list(range(num_classes)))
+            parts_iou = np.zeros(len(parts))
+            for j, part in enumerate(parts):
+                if (label == part).sum() == 0 and (pred == part).sum() == 0:
+                    parts_iou[j] = 1.0  # part absent in both: perfect
+                else:
+                    inter = np.sum((label == part) & (pred == part))
+                    union = np.sum((label == part) | (pred == part))
+                    parts_iou[j] = inter / (union + 1e-10)
+            iou_category[ci] += parts_iou.mean()
+            iou_count[ci] += 1
+        ins_miou = iou_category.sum() / (iou_count.sum() + 1e-10)
+        cat_miou = float((iou_category / (iou_count + 1e-10)).mean())
+        logger.info(
+            f"Test result: ins.mIoU/cat.mIoU {ins_miou:.4f}/{cat_miou:.4f}"
+        )
+        for ci in range(num_categories):
+            logger.info(
+                f"Class_{ci}-{categories[ci]} Result: iou_cat/num_sample "
+                f"{iou_category[ci] / (iou_count[ci] + 1e-10):.4f}/"
+                f"{int(iou_count[ci])}"
             )
-            m = union > 0
-            if m.any():
-                cat = int(batch.get("category", [0])[0]) if "category" in batch else 0
-                iou_cat[cat] += (inter[m] / union[m]).mean()
-                count[cat] += 1
-        miou = (iou_cat[count > 0] / count[count > 0]).mean() if (count > 0).any() else 0
-        logger.info(f"Test result: category mIoU {miou:.4f}")
