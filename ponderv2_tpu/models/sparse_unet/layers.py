@@ -11,12 +11,23 @@ from ...ops.sparse import SparseTensor, make_sparse_tensor
 from ...ops.spconv import (
     StridedPlan,
     apply_sparse_conv,
+    apply_sparse_conv_windowed,
     build_inverse_rulebook,
     build_strided_plan,
     build_subm_rulebook,
     kernel_offsets,
     subm_conv_symmetric,
+    use_windowed_gather,
 )
+
+
+def _apply_conv(features, rulebook, w, mask, compute_dtype):
+    """Plain vs windowed gather-GEMM dispatch (see ops.spconv). The windowed
+    form also gives XLA autodiff a scatter-free backward: the adjoint of its
+    window dynamic_slice is a sequential dynamic_update_slice accumulation."""
+    if use_windowed_gather(rulebook.shape[1], w.shape[1], w.shape[2]):
+        return apply_sparse_conv_windowed(features, rulebook, w, mask, compute_dtype)
+    return apply_sparse_conv(features, rulebook, w, mask, compute_dtype)
 
 
 def _kernel_init(k3: int, cin: int):
@@ -88,7 +99,7 @@ class StridedConv(nn.Module):
                 self.out_capacity or st.capacity,
             )
         mask = plan.out_coords[:, 0] >= 0
-        out = apply_sparse_conv(st.features, plan.rulebook, w, mask, self.compute_dtype)
+        out = _apply_conv(st.features, plan.rulebook, w, mask, self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(mask[:, None], out + b, 0.0)
@@ -127,7 +138,7 @@ class InverseConv(nn.Module):
                 self.padding,
             )
         mask = fine_coords[:, 0] >= 0
-        out = apply_sparse_conv(st.features, rulebook, w, mask, self.compute_dtype)
+        out = _apply_conv(st.features, rulebook, w, mask, self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(mask[:, None], out + b, 0.0)

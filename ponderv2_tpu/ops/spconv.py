@@ -23,6 +23,7 @@ dense convolution kernels (used by the tests' dense-conv oracle).
 from __future__ import annotations
 
 import itertools
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -90,12 +91,27 @@ def build_subm_rulebook(
     arange = jnp.arange(n, dtype=jnp.int32)
 
     if hashing.dense_table_fits(spatial_shape, batch_size):
-        # dense-grid fast path: no key sorts at all — the rulebook is one
-        # batched scalar gather of all K^3 shifted queries against the grid
-        # (~2x the sorted-lookup path; measured v5e). NOTE: contiguous
-        # z-window slice gathers sound better but lower pathologically on
-        # the current TPU backend.
+        # dense-grid fast path: no key sorts. Taps sharing (dx, dy) read
+        # kz z-consecutive cells, so each of the kx*ky runs is two packed
+        # 32 B row gathers (hashing.lookup_runs) instead of kz scalar
+        # gathers — gathers are descriptor-bound on TPU, and this cuts
+        # 125N descriptors to 50N for the k5 stem. (One-off slice gathers
+        # and vmapped dynamic_slice both lower pathologically; measured.)
         table = hashing.build_dense_table(coords, spatial_shape, batch_size)
+        kx, ky, kz = k
+        if kz <= hashing.RUN_PACK and os.environ.get(
+            "PONDER_ZRUN_RULEBOOK", "0"
+        ) == "1":
+            bases = []
+            for dx in range(kx):
+                for dy in range(ky):
+                    q = _query_coords(coords, (dx, dy, 0), 1, pad)
+                    bases.append(q)
+            runs = hashing.lookup_runs(
+                table, jnp.concatenate(bases, axis=0), spatial_shape, kz
+            )  # (kx*ky*n, kz)
+            idx = runs.reshape(kx * ky, n, kz).transpose(0, 2, 1)
+            return idx.reshape(k3, n)
         queries = jnp.concatenate(
             [_query_coords(coords, off, 1, pad) for off in offs], axis=0
         )
@@ -398,15 +414,202 @@ def inverse_conv(
     return make_sparse_tensor(out, fine_coords, fine_spatial_shape, st.batch_size)
 
 
+# ------------------------------------------------ windowed gather-GEMM variant
+#
+# Rulebooks are per-tap monotone over their valid entries: voxel rows are
+# sorted by ravel key, and a fixed kernel-tap offset adds a constant to the
+# key, so the map (output row -> input row) preserves order (strictly — it is
+# injective per tap). A block of B consecutive output rows therefore reads
+# input rows from a narrow index window (~B plus local-density jitter). This
+# converts the HBM-latency-bound random row gather (measured ~25-40 GB/s
+# effective on v5e for 64-512 B rows) into contiguous window loads plus a
+# one-hot MXU matmul, with an exact per-block fallback (lax.cond) to the plain
+# gather whenever a block's window does not cover its entries — so results
+# are bit-identical to the plain path, never silently dropped.
+
+WINDOW_BLOCK = 512
+
+
+def use_windowed_gather(n_out: int, cin: int, cout: int) -> bool:
+    """Windowed gather pays off where the plain gather is latency-bound:
+    many rows of narrow features. Wide channels (>=256) already move >=1 KB
+    rows and the one-hot matmul FLOPs would dominate; tiny N is test-scale."""
+    # default off: the pure-XLA lowering of the windowed scan measured 0.66x
+    # the plain gather on v5e (lax.map pipelines poorly); the machinery and
+    # its exactness tests stay as the substrate for the Pallas version.
+    flag = os.environ.get("PONDER_WINDOWED_GATHER", "0")
+    if flag == "0":
+        return False
+    return n_out >= 4096 and max(cin, cout) <= 128
+
+
+def _pad_axis0(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad, constant_values=fill)
+
+
+def _window_geometry(rulebook: jnp.ndarray, n_in: int, window: int, block: int):
+    """Per-(tap, block) window starts and coverage flags.
+
+    Returns (rb_blocks (K3, nb, B), starts (K3, nb), covered (nb,)) where
+    ``covered[j]`` is True iff every tap's valid entries for block ``j`` fit
+    inside ``[start, start + window)``.
+    """
+    k3, n_out = rulebook.shape
+    nb = -(-n_out // block)
+    rbb = _pad_axis0(rulebook.T, nb * block, -1).T.reshape(k3, nb, block)
+    valid = rbb >= 0
+    big = jnp.iinfo(jnp.int32).max
+    mn = jnp.min(jnp.where(valid, rbb, big), axis=2)
+    mx = jnp.max(jnp.where(valid, rbb, -1), axis=2)
+    starts = jnp.clip(jnp.where(mn == big, 0, mn), 0, max(n_in - window, 0))
+    covered = jnp.all((mx - starts) < window, axis=0)  # (nb,)
+    return rbb, starts, covered
+
+
+def _onehot_gather(idx: jnp.ndarray, start, win: jnp.ndarray, dtype):
+    """Select rows ``idx`` (global indices; -1 = zero row) out of a window of
+    rows ``win`` starting at global row ``start``, as a one-hot MXU matmul."""
+    w = win.shape[0]
+    local = idx - start
+    oh = (
+        (local[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :])
+        & (idx >= 0)[:, None]
+    ).astype(dtype)
+    return jnp.dot(oh, win, preferred_element_type=dtype)
+
+
+def apply_sparse_conv_windowed(
+    features: jnp.ndarray,
+    rulebook: jnp.ndarray,
+    weights: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    precision_dtype=None,
+    window: int = 1024,
+    block: int = WINDOW_BLOCK,
+) -> jnp.ndarray:
+    """Windowed-gather form of :func:`apply_sparse_conv` (same contract)."""
+    k3, n_out = rulebook.shape
+    n_in = features.shape[0]
+    cin, cout = weights.shape[1], weights.shape[2]
+    compute_dtype = precision_dtype or features.dtype
+    window = min(window, max(256, -(-n_in // 256) * 256))
+    feats_c = _pad_axis0(features.astype(compute_dtype), max(n_in, window), 0)
+    wc = weights.astype(compute_dtype)
+    rbb, starts, covered = _window_geometry(rulebook, n_in, window, block)
+    nb = rbb.shape[1]
+
+    def block_windowed(j):
+        acc = jnp.zeros((block, cout), jnp.float32)
+        for t in range(k3):
+            win = jax.lax.dynamic_slice(feats_c, (starts[t, j], 0), (window, cin))
+            if cin <= cout:
+                g = _onehot_gather(rbb[t, j], starts[t, j], win, compute_dtype)
+                acc = acc + jnp.dot(g, wc[t], preferred_element_type=jnp.float32)
+            else:
+                proj = jnp.dot(win, wc[t], preferred_element_type=compute_dtype)
+                acc = acc + _onehot_gather(
+                    rbb[t, j], starts[t, j], proj, compute_dtype
+                ).astype(jnp.float32)
+        return acc
+
+    def block_plain(j):
+        acc = jnp.zeros((block, cout), jnp.float32)
+        for t in range(k3):
+            idx = rbb[t, j]
+            g = jnp.where((idx >= 0)[:, None],
+                          feats_c[jnp.where(idx >= 0, idx, 0)], 0)
+            acc = acc + jnp.dot(g, wc[t], preferred_element_type=jnp.float32)
+        return acc
+
+    @jax.checkpoint
+    def block_fn(j):
+        return jax.lax.cond(covered[j], block_windowed, block_plain, j)
+
+    out = jax.lax.map(block_fn, jnp.arange(nb)).reshape(nb * block, cout)
+    out = out[:n_out]
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+def windowed_coverage(rulebook: jnp.ndarray, n_in: int,
+                      window: int = 1024, block: int = WINDOW_BLOCK):
+    """Diagnostic: fraction of blocks taking the fast windowed path."""
+    _, _, covered = _window_geometry(rulebook, n_in, window, block)
+    return jnp.mean(covered.astype(jnp.float32))
+
+
 # --------------------------------------------------- symmetric (subm) custom VJP
 
 
 def _subm_fwd_impl(features, rulebook, weights, out_mask, compute_dtype):
+    if use_windowed_gather(
+        rulebook.shape[1], weights.shape[1], weights.shape[2]
+    ):
+        return apply_sparse_conv_windowed(
+            features, rulebook, weights, out_mask, compute_dtype
+        )
     # loop form: same measured speed as the one-big-gather "batched" form (the
     # gather is the bound either way) with far smaller transients
     return apply_sparse_conv(
         features, rulebook, weights, out_mask, compute_dtype, variant="loop"
     )
+
+
+def _windowed_dw(features, rulebook, g, compute_dtype,
+                 window: int = 1024, block: int = WINDOW_BLOCK):
+    """dW[t] = gather_t(x)^T @ g via windowed one-hot gathers.
+
+    Scan over output blocks carrying the (K^3, Cin, Cout) f32 accumulator;
+    per block the tap gathers ride the same window machinery as the forward
+    (exact per-block fallback included).
+    """
+    k3, n_out = rulebook.shape
+    n_in, cin = features.shape
+    cout = g.shape[1]
+    window = min(window, max(256, -(-n_in // 256) * 256))
+    feats_c = _pad_axis0(features.astype(compute_dtype), max(n_in, window), 0)
+    rbb, starts, covered = _window_geometry(rulebook, n_in, window, block)
+    nb = rbb.shape[1]
+    gc = _pad_axis0(g.astype(compute_dtype), nb * block, 0)
+
+    def body(carry, j):
+        gb = jax.lax.dynamic_slice(gc, (j * block, 0), (block, cout))
+
+        def taps_windowed(_):
+            outs = []
+            for t in range(k3):
+                win = jax.lax.dynamic_slice(
+                    feats_c, (starts[t, j], 0), (window, cin)
+                )
+                outs.append(
+                    _onehot_gather(rbb[t, j], starts[t, j], win, compute_dtype)
+                )
+            return jnp.stack(outs)
+
+        def taps_plain(_):
+            outs = []
+            for t in range(k3):
+                idx = rbb[t, j]
+                outs.append(
+                    jnp.where((idx >= 0)[:, None],
+                              feats_c[jnp.where(idx >= 0, idx, 0)], 0)
+                )
+            return jnp.stack(outs)
+
+        gx = jax.lax.cond(covered[j], taps_windowed, taps_plain, None)
+        dw = jax.lax.dot_general(
+            gx, jnp.broadcast_to(gb, (k3,) + gb.shape),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (K3, cin, cout)
+        return carry + dw, None
+
+    init = jnp.zeros((k3, cin, cout), jnp.float32)
+    dw, _ = jax.lax.scan(body, init, jnp.arange(nb))
+    return dw
 
 
 @jax.custom_vjp
@@ -437,6 +640,22 @@ def _subm_sym_bwd(res, g):
         None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     )
     g = jnp.where(out_mask[:, None], g, 0.0)
+
+    if use_windowed_gather(
+        rulebook.shape[1], weights.shape[1], weights.shape[2]
+    ):
+        # dx = sum_k gather_{rb[K3-1-k]}(g) @ W[k]^T. Substituting t = K3-1-k
+        # this is the forward conv applied to g with mirrored+transposed
+        # weights, so it reuses the windowed machinery wholesale.
+        w_bwd = jnp.swapaxes(weights[::-1], 1, 2)
+        dx = apply_sparse_conv_windowed(
+            g, rulebook, w_bwd, out_mask, compute_dtype
+        ).astype(features.dtype)
+        dw = _windowed_dw(features, rulebook, g, compute_dtype).astype(
+            weights.dtype
+        )
+        return dx, None, dw, None, None
+
     gc = g.astype(compute_dtype)
     fc = features.astype(compute_dtype)
     self_idx = jnp.arange(n, dtype=rulebook.dtype)

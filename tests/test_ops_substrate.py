@@ -171,3 +171,36 @@ class TestOutOfBoundsRows:
         # in-bounds rows keep their neighbors (center tap = self)
         assert rb_dense[13, 0] == 0 and rb_dense[13, 1] == 1
         assert rb_dense[14, 0] == 1 and rb_dense[12, 1] == 0
+
+
+def test_lookup_runs_matches_lookup():
+    """Packed z-run lookups must equal per-cell scalar lookups, including
+    z-boundary runs and invalid columns."""
+    import jax.numpy as jnp
+    from ponderv2_tpu.ops import hashing
+
+    rng = np.random.RandomState(3)
+    shape, batch = (7, 9, 11), 2
+    coords = np.unique(
+        np.stack(
+            [rng.randint(0, batch, 80), rng.randint(0, 7, 80),
+             rng.randint(0, 9, 80), rng.randint(0, 11, 80)], axis=1
+        ), axis=0,
+    ).astype(np.int32)
+    table = hashing.build_dense_table(jnp.asarray(coords), shape, batch)
+    # bases probing past every boundary, plus invalid columns / padding rows
+    bases = np.stack(
+        [rng.randint(-1, batch + 1, 400), rng.randint(-2, 9, 400),
+         rng.randint(-2, 11, 400), rng.randint(-6, 13, 400)], axis=1
+    ).astype(np.int32)
+    runs = hashing.lookup_runs(table, jnp.asarray(bases), shape, 5)
+    for dz in range(5):
+        q = bases.copy()
+        q[:, 3] += dz
+        # scalar lookup treats any negative coordinate row as invalid;
+        # lookup_runs likewise requires a valid (b, x, y) column
+        q = np.where((bases[:, :3] >= 0).all(1, keepdims=True), q, -1)
+        ref = hashing.lookup(table, jnp.asarray(q), shape)
+        ref = jnp.where(jnp.asarray((q >= 0).all(1)), ref, -1)
+        got = jnp.where(jnp.asarray((q >= 0).all(1)), runs[:, dz], -1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -233,3 +233,100 @@ class TestSymmetricVJP:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw_sym), np.asarray(gw_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestWindowedGather:
+    """Windowed one-hot gather-GEMM must be exact vs the plain gather path,
+    including blocks that overflow their window (per-block lax.cond fallback)
+    and fully unsorted rulebooks (everything falls back)."""
+
+    def _setup(self, rng, n=600, shape=(16, 16, 16), batch=2, cin=3, cout=5):
+        coords, feats = make_scene(rng, n, shape, batch, cin)
+        st = make_sparse_tensor(
+            jnp.asarray(feats), jnp.asarray(coords), shape, batch
+        )
+        rb = build_subm_rulebook(st.coords, shape, batch, 3)
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.3)
+        return st, rb, w
+
+    @pytest.mark.parametrize("window,block", [(256, 128), (128, 128), (8, 8)])
+    def test_matches_plain(self, rng, window, block):
+        from ponderv2_tpu.ops.spconv import (
+            apply_sparse_conv, apply_sparse_conv_windowed,
+        )
+
+        st, rb, w = self._setup(rng)
+        ref = apply_sparse_conv(st.features, rb, w, st.mask, None)
+        got = apply_sparse_conv_windowed(
+            st.features, rb, w, st.mask, None, window=window, block=block
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_unsorted_rulebook_falls_back_exactly(self, rng):
+        from ponderv2_tpu.ops.spconv import (
+            apply_sparse_conv, apply_sparse_conv_windowed, windowed_coverage,
+        )
+
+        st, rb, w = self._setup(rng)
+        perm = rng.permutation(rb.shape[1])
+        rb_shuf = jnp.asarray(np.asarray(rb)[:, perm])
+        mask_shuf = jnp.asarray(np.asarray(st.mask)[perm])
+        ref = apply_sparse_conv(st.features, rb_shuf, w, mask_shuf, None)
+        got = apply_sparse_conv_windowed(
+            st.features, rb_shuf, w, mask_shuf, None, window=64, block=64
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+        assert float(windowed_coverage(rb_shuf, st.capacity, 64, 64)) < 0.5
+
+    def test_windowed_dw_matches_autodiff(self, rng):
+        import jax
+        from ponderv2_tpu.ops.spconv import (
+            apply_sparse_conv, _windowed_dw,
+        )
+
+        st, rb, w = self._setup(rng)
+        g = jnp.asarray(
+            rng.randn(rb.shape[1], w.shape[2]).astype(np.float32)
+        )
+        g = jnp.where(st.mask[:, None], g, 0.0)
+        dw_ref = jax.grad(
+            lambda w: jnp.sum(
+                apply_sparse_conv(st.features, rb, w, st.mask, None) * g
+            )
+        )(w)
+        dw = _windowed_dw(st.features, rb, g, jnp.float32,
+                          window=128, block=128)
+        np.testing.assert_allclose(
+            np.asarray(dw), np.asarray(dw_ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_full_vjp_windowed_branch(self, rng, monkeypatch):
+        """Force the windowed branch of subm_conv_symmetric and check grads
+        against plain autodiff."""
+        import jax
+        import ponderv2_tpu.ops.spconv as sp
+
+        st, rb, w = self._setup(rng, n=900, shape=(18, 18, 18))
+        monkeypatch.setattr(
+            sp, "use_windowed_gather", lambda n, ci, co: True
+        )
+        tok = jnp.zeros((0,), jnp.float32)
+
+        def loss_sym(f, w):
+            out = sp.subm_conv_symmetric(f, rb, w, st.mask, tok)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_ref(f, w):
+            out = sp.apply_sparse_conv(f, rb, w, st.mask, None, variant="loop")
+            return jnp.sum(out * jnp.cos(out))
+
+        gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(st.features, w)
+        gf, gw = jax.grad(loss_sym, argnums=(0, 1))(st.features, w)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                                   rtol=1e-4, atol=1e-5)
