@@ -246,8 +246,17 @@ class SpUNet(nn.Module):
             x = x.replace(features=feats)
             level = num_stages - 1 - s
             rb = subm_rulebooks[level]
-            if rb is None:  # level 0 blocks need a k3 rulebook (stem built k5)
-                rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            if rb is None:
+                # level-0 k3 rulebook = the k5 stem rulebook's inner 3x3x3
+                # taps (same coords, same table; k5 pad 2 + offset d equals
+                # k3 pad 1 + offset d-1) — a static row-select, no lookups
+                inner = [
+                    (dx * 5 + dy) * 5 + dz
+                    for dx in (1, 2, 3)
+                    for dy in (1, 2, 3)
+                    for dz in (1, 2, 3)
+                ]
+                rb = rb_stem[jnp.asarray(inner)]
                 subm_rulebooks[level] = rb
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:
