@@ -16,18 +16,20 @@ from ...ops.spconv import (
     build_strided_plan,
     build_subm_rulebook,
     kernel_offsets,
+    sparse_conv_gathered,
     subm_conv_symmetric,
     use_windowed_gather,
 )
 
 
 def _apply_conv(features, rulebook, w, mask, compute_dtype):
-    """Plain vs windowed gather-GEMM dispatch (see ops.spconv). The windowed
-    form also gives XLA autodiff a scatter-free backward: the adjoint of its
-    window dynamic_slice is a sequential dynamic_update_slice accumulation."""
+    """Strided/inverse conv application: gather-only custom VJP (dx via the
+    inverted rulebook instead of XLA's feature scatter-add), with the
+    windowed-gather dispatch on top (see ops.spconv)."""
     if use_windowed_gather(rulebook.shape[1], w.shape[1], w.shape[2]):
         return apply_sparse_conv_windowed(features, rulebook, w, mask, compute_dtype)
-    return apply_sparse_conv(features, rulebook, w, mask, compute_dtype)
+    dtype_token = jnp.zeros((0,), compute_dtype or features.dtype)
+    return sparse_conv_gathered(features, rulebook, w, mask, dtype_token)
 
 
 def _kernel_init(k3: int, cin: int):

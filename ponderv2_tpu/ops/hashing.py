@@ -242,6 +242,83 @@ def lookup_runs(
     return jnp.stack(outs, axis=1)
 
 
+class PackedTable(NamedTuple):
+    """Rank + occupancy-bitmap dense table for z-run rulebook lookups.
+
+    ``packed[pad + cell] = rank(cell) * 256 + occ_bits(cell)`` where
+    ``rank(cell)`` is the number of occupied cells with smaller ravel key
+    (an exclusive cumsum) and ``occ_bits(cell)`` bit ``d`` is the occupancy
+    of ``cell + d`` (d < 8). One scalar gather at a z-run's base cell then
+    yields every tap in the run: occupancy from the bitmap, and the row
+    index as ``rank + popcount(occ_bits & ((1 << d) - 1))`` — cells between
+    the base and tap d are exactly the bitmap's prefix bits.
+
+    VALIDITY CONTRACT: ranks equal original row indices iff the coordinate
+    rows are sorted ascending by ravel key with padding rows last — which
+    every backbone guarantees (ops.sparse.sort_by_key at entry,
+    unique_voxels thereafter). For unsorted rows use the plain DenseTable.
+    """
+
+    packed: jnp.ndarray  # (pad + cells + pad + 1,) int32, RUN_PACK-aligned
+    num_cells: int
+    pad: int
+
+
+def build_packed_table(
+    coords: jnp.ndarray, spatial_shape: Sequence[int], batch_size: int,
+    pad: int = 16,
+) -> PackedTable:
+    X, Y, Z = (int(s) for s in spatial_shape)
+    cells = int(batch_size) * X * Y * Z
+    keys = ravel_single(coords, spatial_shape)
+    ok = keys != INVALID_KEY
+    length = -(-(pad + cells + pad + 1) // RUN_PACK) * RUN_PACK
+    tgt = jnp.where(ok, pad + keys, pad + cells + pad)
+    occ = (
+        jnp.zeros((length,), jnp.int32).at[tgt].add(jnp.where(ok, 1, 0))
+    )
+    occ = occ.at[pad + cells + pad].set(0)  # clear the dump slot
+    rank = jnp.cumsum(occ) - occ  # exclusive
+    bits = jnp.zeros((length,), jnp.int32)
+    for d in range(8):
+        shifted = jnp.roll(occ, -d)  # occ[cell + d]; wraparound cells are
+        bits = bits + (shifted << d)  # beyond pad and masked per-z anyway
+    return PackedTable(rank * 256 + bits, cells, pad)
+
+
+def lookup_runs_packed(
+    table: PackedTable,
+    base_coords: jnp.ndarray,
+    spatial_shape: Sequence[int],
+    run_len: int,
+) -> jnp.ndarray:
+    """Like :func:`lookup_runs` but ONE scalar gather per run (see
+    :class:`PackedTable`; requires key-sorted coordinate rows)."""
+    assert run_len <= 8
+    X, Y, Z = (int(s) for s in spatial_shape)
+    b, x, y, z0 = (base_coords[:, i] for i in range(4))
+    n_batch = table.num_cells // (X * Y * Z)
+    col_ok = (
+        (b >= 0) & (b < n_batch)
+        & (x >= 0) & (x < X) & (y >= 0) & (y < Y)
+    )
+    zc = jnp.clip(z0, 0, Z - 1)
+    key = ((b * X + x) * Y + y) * Z + zc
+    base = jnp.where(col_ok, table.pad + key, table.pad + table.num_cells)
+    packed = table.packed[base]  # (M,) — the one gather
+    rank = packed >> 8
+    occ = packed & 0xFF
+    outs = []
+    for dz in range(run_len):
+        z = z0 + dz
+        bit = z - zc  # in [0, 8) for every valid tap
+        ok = col_ok & (z >= 0) & (z < Z)
+        present = ((occ >> bit) & 1) == 1
+        prefix = jax.lax.population_count(occ & ((1 << bit) - 1))
+        outs.append(jnp.where(ok & present, rank + prefix, -1))
+    return jnp.stack(outs, axis=1)
+
+
 def fnv_hash(coords: jnp.ndarray) -> jnp.ndarray:
     """FNV-1a 32-bit hash of (N, D) int coordinates (uint32 wrap-around).
 

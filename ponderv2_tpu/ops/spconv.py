@@ -91,17 +91,60 @@ def build_subm_rulebook(
     arange = jnp.arange(n, dtype=jnp.int32)
 
     if hashing.dense_table_fits(spatial_shape, batch_size):
-        # dense-grid fast path: no key sorts. Taps sharing (dx, dy) read
-        # kz z-consecutive cells, so each of the kx*ky runs is two packed
-        # 32 B row gathers (hashing.lookup_runs) instead of kz scalar
-        # gathers — gathers are descriptor-bound on TPU, and this cuts
-        # 125N descriptors to 50N for the k5 stem. (One-off slice gathers
-        # and vmapped dynamic_slice both lower pathologically; measured.)
-        table = hashing.build_dense_table(coords, spatial_shape, batch_size)
+        # dense-grid fast paths: no key sorts. Gathers are descriptor-bound
+        # on TPU (~60M scalar/s, and row/slice gathers are no faster per
+        # descriptor — measured), so the win is fewer gathers: the packed
+        # rank+occupancy table answers a whole z-run of taps with ONE
+        # scalar gather (125N -> 25N descriptors for the k5 stem). It
+        # requires key-sorted rows (see PackedTable docstring) — which
+        # every model path guarantees; PONDER_PACKED_RULEBOOK=0 falls back
+        # to the order-agnostic per-tap scalar lookup.
         kx, ky, kz = k
-        if kz <= hashing.RUN_PACK and os.environ.get(
-            "PONDER_ZRUN_RULEBOOK", "0"
-        ) == "1":
+        zmode = os.environ.get("PONDER_PACKED_RULEBOOK", "1")
+        if kz <= 8 and zmode == "1" and all(d % 2 == 1 for d in k):
+            def packed_path(coords):
+                table = hashing.build_packed_table(
+                    coords, spatial_shape, batch_size
+                )
+                bases = jnp.concatenate(
+                    [
+                        _query_coords(coords, (dx, dy, 0), 1, pad)
+                        for dx in range(kx)
+                        for dy in range(ky)
+                    ],
+                    axis=0,
+                )
+                runs = hashing.lookup_runs_packed(
+                    table, bases, spatial_shape, kz
+                )
+                idx = runs.reshape(kx * ky, n, kz).transpose(0, 2, 1)
+                return idx.reshape(k3, n)
+
+            def scalar_path(coords):
+                table = hashing.build_dense_table(
+                    coords, spatial_shape, batch_size
+                )
+                queries = jnp.concatenate(
+                    [_query_coords(coords, off, 1, pad) for off in offs],
+                    axis=0,
+                )
+                return hashing.lookup(table, queries, spatial_shape).reshape(
+                    k3, n
+                )
+
+            idx = packed_path(coords)
+            # rank == row self-check: the center tap must be the identity on
+            # every valid in-shape row — exactly the PackedTable sortedness
+            # contract. Unsorted callers take the order-agnostic path.
+            center = idx[(k3 - 1) // 2]
+            sorted_ok = jnp.all(
+                jnp.where(valid_row, center == arange, center == -1)
+            )
+            return jax.lax.cond(
+                sorted_ok, lambda c: idx, scalar_path, coords
+            )
+        table = hashing.build_dense_table(coords, spatial_shape, batch_size)
+        if kz <= hashing.RUN_PACK and zmode == "2":
             bases = []
             for dx in range(kx):
                 for dy in range(ky):
@@ -688,6 +731,74 @@ def _subm_sym_bwd(res, g):
 
 
 subm_conv_symmetric.defvjp(_subm_sym_fwd, _subm_sym_bwd)
+
+
+# ------------------------------------------- general conv custom VJP (gather)
+
+
+@jax.custom_vjp
+def sparse_conv_gathered(features, rulebook, weights, out_mask, dtype_token):
+    """Strided/inverse sparse conv with a gather-only backward.
+
+    XLA autodiff of the gather forward emits (N, C) feature scatter-adds for
+    dx (sort+segment lowering on TPU). Per tap the rulebook map out->in is
+    injective, so its inverse is another rulebook (int32 scatter, C-times
+    cheaper to build than a feature scatter) and dx is again a gather-GEMM:
+    ``dx = sum_t gather_{rb_t^-1}(g) @ W_t^T``. Mirrors spconv's use of the
+    shared indice_key index pairs for both directions.
+    """
+    return apply_sparse_conv(
+        features, rulebook, weights, out_mask, dtype_token.dtype, variant="loop"
+    )
+
+
+def _sconv_fwd(features, rulebook, weights, out_mask, dtype_token):
+    out = apply_sparse_conv(
+        features, rulebook, weights, out_mask, dtype_token.dtype, variant="loop"
+    )
+    return out, (features, rulebook, weights, out_mask, dtype_token)
+
+
+def _sconv_bwd(res, g):
+    features, rulebook, weights, out_mask, dtype_token = res
+    compute_dtype = dtype_token.dtype
+    k3 = rulebook.shape[0]
+    n_in = features.shape[0]
+    precision = (
+        None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
+    g = jnp.where(out_mask[:, None], g, 0.0)
+    gc = g.astype(compute_dtype)
+    fc = features.astype(compute_dtype)
+    inv = invert_strided_rulebook(rulebook, n_in)  # (K3, n_in)
+    self_out = jnp.arange(rulebook.shape[1], dtype=jnp.int32)
+    self_in = jnp.arange(n_in, dtype=jnp.int32) % rulebook.shape[1]
+
+    dx = jnp.zeros((n_in, features.shape[1]), jnp.float32)
+    dw_list = []
+    for k in range(k3):
+        idx = rulebook[k]
+        safe = jnp.where(idx >= 0, idx, self_out % n_in)
+        xg = jnp.where((idx >= 0)[:, None], fc[safe], 0)
+        dw_list.append(
+            jax.lax.dot_general(
+                xg, gc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        )
+        midx = inv[k]
+        msafe = jnp.where(midx >= 0, midx, self_in)
+        gg = jnp.where((midx >= 0)[:, None], gc[msafe], 0)
+        dx = dx + jax.lax.dot_general(
+            gg, weights[k].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    dw = jnp.stack(dw_list).astype(weights.dtype)
+    return dx.astype(features.dtype), None, dw, None, None
+
+
+sparse_conv_gathered.defvjp(_sconv_fwd, _sconv_bwd)
 
 
 def invert_strided_rulebook(rulebook: jnp.ndarray, num_fine: int) -> jnp.ndarray:

@@ -330,3 +330,35 @@ class TestWindowedGather:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestGatheredVJP:
+    def test_strided_and_inverse_grads_match_autodiff(self, rng):
+        """Gather-only backward (inverted rulebook) == plain autodiff."""
+        import jax
+        from ponderv2_tpu.ops.spconv import (
+            apply_sparse_conv, build_strided_plan, sparse_conv_gathered,
+        )
+
+        shape, batch, cin, cout = (8, 8, 8), 2, 3, 4
+        coords, feats = make_scene(rng, 50, shape, batch, cin)
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+        plan = build_strided_plan(st.coords, shape, batch, 2, 2, 0, st.capacity)
+        w = jnp.asarray(rng.randn(8, cin, cout).astype(np.float32) * 0.3)
+        mask = plan.out_coords[:, 0] >= 0
+        tok = jnp.zeros((0,), jnp.float32)
+
+        def loss_ref(f, w):
+            out = apply_sparse_conv(f, plan.rulebook, w, mask, None)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_vjp(f, w):
+            out = sparse_conv_gathered(f, plan.rulebook, w, mask, tok)
+            return jnp.sum(jnp.sin(out))
+
+        gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(st.features, w)
+        gf, gw = jax.grad(loss_vjp, argnums=(0, 1))(st.features, w)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                                   rtol=1e-4, atol=1e-5)

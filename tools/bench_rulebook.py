@@ -42,12 +42,14 @@ def main():
         )
         out = f(coords)
         jax.block_until_ready(out)
-        float(np.asarray(out)[0, 0])
+        # index ON DEVICE: np.asarray(out) would fetch the whole rulebook
+        # (100+ MB) through the tunnel and dominate the timing
+        float(out[0, 0])
         t0 = time.perf_counter()
         iters = 10
         for _ in range(iters):
             out = f(coords)
-        float(np.asarray(out)[0, 0])
+        float(out[0, 0])
         dt = (time.perf_counter() - t0) / iters
         print(f"k{kernel} subm rulebook @ {len(coords)}: {dt*1e3:.1f} ms")
 
