@@ -88,7 +88,14 @@ def prepare_geometry(
     n_pad = padded_rows(n_in, wb)
     w0 = jnp.clip(jnp.where(mn == big, 0, mn) // wb, 0, n_pad // wb - 2)
     covered = jnp.all(mx < (w0 + 2) * wb)
-    return WindowGeometry(rbb.transpose(0, 2, 1, 3), w0, covered)
+    rbb = rbb.transpose(0, 2, 1, 3)  # (G, nb, TG, block)
+    # pad the tap dim to a sublane multiple (odd sublane counts upset Mosaic)
+    tg_pad = _cdiv(group, SLAB) * SLAB
+    rbb = jnp.pad(
+        rbb, ((0, 0), (0, 0), (0, tg_pad - group), (0, 0)),
+        constant_values=-1,
+    )
+    return WindowGeometry(rbb, w0, covered)
 
 
 def pad_features(features: jnp.ndarray, n_pad: int, dtype) -> jnp.ndarray:
@@ -99,10 +106,10 @@ def pad_features(features: jnp.ndarray, n_pad: int, dtype) -> jnp.ndarray:
 
 
 def _gather_group(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, g_id, j, wb, cin,
-                  out_dtype):
-    """Windowed two-level gather of a tap group -> (B, TG*cin) compute-dtype."""
-    rb = rb_ref[0, 0]  # (TG, B) int32, taps on sublanes, rows on lanes
-    tg, block = rb.shape
+                  group, out_dtype):
+    """Windowed two-level gather of a tap group -> (B, group*cin)."""
+    rb = rb_ref[0, 0]  # (TG_pad, B) int32, taps on sublanes, rows on lanes
+    tg, block = group, rb.shape[1]
     wb8 = wb // SLAB
     base8 = w0_ref[g_id, j] * wb8
     cols = []
@@ -124,23 +131,26 @@ def _gather_group(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, g_id, j, wb, cin,
             preferred_element_type=jnp.float32,
         )  # (B, SLAB*cin)
         # per-row slab position, sublane-major via identity-matmul transpose
-        # (values 1..SLAB valid, 0 invalid; bf16-exact)
+        # (values 1..SLAB valid, 0 invalid; bf16-exact). The value row is
+        # broadcast to SLAB lanes first — Mosaic's matmul lowering rejects a
+        # free dimension of 1.
         v = jnp.where(idx >= 0, idx % SLAB + 1, 0).astype(out_dtype)  # (1, B)
-        col = jax.lax.dot_general(
-            eye_ref[:], v, dimension_numbers=(((1,), (1,)), ((), ())),
+        v8 = jnp.broadcast_to(v, (SLAB, block))
+        col8 = jax.lax.dot_general(
+            eye_ref[:], v8, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (B, 1)
+        )  # (B, SLAB) — identical columns
         g = jnp.zeros((block, cin), jnp.float32)
         for r in range(SLAB):
             g = g + jnp.where(
-                col == r + 1, g8[:, r * cin:(r + 1) * cin], 0.0
+                col8[:, r:r + 1] == r + 1, g8[:, r * cin:(r + 1) * cin], 0.0
             )
         cols.append(g.astype(out_dtype))
     return jnp.concatenate(cols, axis=1)  # (B, TG*cin)
 
 
 def _fwd_kernel(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, w_ref, out_ref,
-                *, wb, cin):
+                *, wb, cin, group):
     g_id = pl.program_id(1)
 
     @pl.when(g_id == 0)
@@ -149,7 +159,7 @@ def _fwd_kernel(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, w_ref, out_ref,
 
     j = pl.program_id(0)
     g = _gather_group(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, g_id, j, wb,
-                      cin, lo_ref.dtype)
+                      cin, group, lo_ref.dtype)
     out_ref[:] += jnp.dot(g, w_ref[0], preferred_element_type=jnp.float32)
 
 
@@ -160,25 +170,26 @@ def windowed_conv_fwd(
     wb: int,
 ) -> jnp.ndarray:
     """Accumulated conv output (nb*B, cout) f32."""
-    ngroups, nb, tg, block = geom.rbb.shape
+    ngroups, nb, tg_pad, block = geom.rbb.shape
     k3, cin, cout = weights.shape
+    group = k3 // ngroups
     wb8, c8 = wb // SLAB, SLAB * cin
-    wg = weights.reshape(ngroups, tg * cin, cout)
+    wg = weights.reshape(ngroups, group * cin, cout)
     eye = jnp.eye(block, dtype=feats8.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # w0
         grid=(nb, ngroups),
         in_specs=[
-            pl.BlockSpec((1, 1, tg, block), lambda j, g, w0: (g, j, 0, 0)),
+            pl.BlockSpec((1, 1, tg_pad, block), lambda j, g, w0: (g, j, 0, 0)),
             pl.BlockSpec((block, block), lambda j, g, w0: (0, 0)),
             pl.BlockSpec((wb8, c8), lambda j, g, w0: (w0[g, j], 0)),
             pl.BlockSpec((wb8, c8), lambda j, g, w0: (w0[g, j] + 1, 0)),
-            pl.BlockSpec((1, tg * cin, cout), lambda j, g, w0: (g, 0, 0)),
+            pl.BlockSpec((1, group * cin, cout), lambda j, g, w0: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block, cout), lambda j, g, w0: (j, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, wb=wb, cin=cin),
+        functools.partial(_fwd_kernel, wb=wb, cin=cin, group=group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * block, cout), jnp.float32),
         interpret=_interpret(),
@@ -186,7 +197,7 @@ def windowed_conv_fwd(
 
 
 def _dw_kernel(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, g_ref, dw_ref,
-               *, wb, cin):
+               *, wb, cin, group):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -195,7 +206,7 @@ def _dw_kernel(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, g_ref, dw_ref,
 
     g_id = pl.program_id(0)
     gx = _gather_group(w0_ref, rb_ref, eye_ref, lo_ref, hi_ref, g_id, j, wb,
-                       cin, lo_ref.dtype)
+                       cin, group, lo_ref.dtype)
     dw_ref[0] += jax.lax.dot_general(
         gx, g_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -208,9 +219,10 @@ def windowed_conv_dw(
     geom: WindowGeometry,
     g: jnp.ndarray,  # (nb*B, cout) compute-dtype cotangent
     wb: int,
+    group: int,
 ) -> jnp.ndarray:
     """dW (K3, cin, cout) f32: dW[t] = sum_j gather_t(x)_j^T @ g_j."""
-    ngroups, nb, tg, block = geom.rbb.shape
+    ngroups, nb, tg_pad, block = geom.rbb.shape
     cin = feats8.shape[1] // SLAB
     cout = g.shape[1]
     wb8, c8 = wb // SLAB, SLAB * cin
@@ -219,20 +231,23 @@ def windowed_conv_dw(
         num_scalar_prefetch=1,
         grid=(ngroups, nb),  # j inner: the dW group block is revisited
         in_specs=[
-            pl.BlockSpec((1, 1, tg, block), lambda g_, j, w0: (g_, j, 0, 0)),
+            pl.BlockSpec((1, 1, tg_pad, block),
+                         lambda g_, j, w0: (g_, j, 0, 0)),
             pl.BlockSpec((block, block), lambda g_, j, w0: (0, 0)),
             pl.BlockSpec((wb8, c8), lambda g_, j, w0: (w0[g_, j], 0)),
             pl.BlockSpec((wb8, c8), lambda g_, j, w0: (w0[g_, j] + 1, 0)),
             pl.BlockSpec((block, cout), lambda g_, j, w0: (j, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, tg * cin, cout), lambda g_, j, w0: (g_, 0, 0)
+            (1, group * cin, cout), lambda g_, j, w0: (g_, 0, 0)
         ),
     )
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, wb=wb, cin=cin),
+        functools.partial(_dw_kernel, wb=wb, cin=cin, group=group),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ngroups, tg * cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (ngroups, group * cin, cout), jnp.float32
+        ),
         interpret=_interpret(),
     )(geom.w0, geom.rbb, eye, feats8, feats8, g)
-    return dw.reshape(ngroups * tg, cin, cout)
+    return dw.reshape(ngroups * group, cin, cout)

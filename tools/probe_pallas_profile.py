@@ -43,11 +43,11 @@ def main():
     def timeit(f, iters=20):
         out = f()
         jax.block_until_ready(out)
-        float(np.asarray(out).ravel()[0])
+        float(out.ravel()[0])
         t0 = time.perf_counter()
         for _ in range(iters):
             out = f()
-        float(np.asarray(out).ravel()[0])
+        float(out.ravel()[0])
         return (time.perf_counter() - t0) / iters
 
     def run(name, fn):

@@ -14,13 +14,15 @@ def timeit(f, *args, iters=30):
 
     out = f(*args)
     jax.block_until_ready(out)
+    # device-indexed scalar fetch: np.asarray would drag the full output
+    # through the tunnel and dominate the timing
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    float(leaf.ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    float(leaf.ravel()[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -49,8 +51,13 @@ def main():
     B, WB = 512, 1024
     rng = np.random.RandomState(0)
 
+    only = os.environ.get("PROBE_ONLY")
+    skip_dw = os.environ.get("PROBE_SKIP_DW", "0") == "1"
     for k3, cin, cout, group in [(27, 32, 32, 9), (27, 96, 96, 9),
                                  (125, 8, 32, 25)]:
+        if only and str(k3) + "-" + str(cin) != only:
+            continue
+        group = int(os.environ.get("PROBE_GROUP", group))
         rb = jnp.asarray(make_monotone_rulebook(N, k3, rng))
         feats = jnp.asarray(rng.randn(N, cin).astype(np.float32))
         w = jnp.asarray(rng.randn(k3, cin, cout).astype(np.float32) * 0.05)
@@ -80,7 +87,7 @@ def main():
             nb = geom.rbb.shape[1]
             gc = jnp.pad(g.astype(jnp.bfloat16),
                          ((0, nb * geom.rbb.shape[3] - N), (0, 0)))
-            return windowed_conv_dw(f8, geom, gc, WB)
+            return windowed_conv_dw(f8, geom, gc, WB, group)
         tgeo = timeit(
             jax.jit(lambda rb: prepare_geometry(rb, N, B, WB, group)), rb)
         print(f"k3={k3}: geometry prep {tgeo*1e3:.2f} ms")
@@ -102,6 +109,8 @@ def main():
             continue
 
         # dW
+        if skip_dw:
+            continue
         g = jnp.asarray(rng.randn(N, cout).astype(np.float32))
         def dw_ref(feats, rb, g):
             fc = feats.astype(jnp.bfloat16)
