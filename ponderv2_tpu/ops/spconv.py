@@ -706,20 +706,19 @@ def _subm_sym_bwd(res, g):
     dx = jnp.zeros((n, features.shape[1]), jnp.float32)
     dw_list = []
     for k in range(k3):
-        # dW[k] = gather_k(x)^T @ g
-        idx = rulebook[k]
-        safe = jnp.where(idx >= 0, idx, self_idx)
-        xg = jnp.where((idx >= 0)[:, None], fc[safe], 0)
-        dw_list.append(
-            jax.lax.dot_general(
-                xg, gc, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-        )
-        # dx += gather_{mirror(k)}(g) @ W[k]^T  (mirror = K^3-1-k)
+        # one mirrored gather serves BOTH cotangents: with j = rb_k[i]
+        # (bijective over valid pairs, inverse = the mirror tap),
+        #   dW[k] = sum_i x[rb_k[i]] g[i]^T = x^T @ gather_{rb[K3-1-k]}(g)
+        #   dx   += gather_{rb[K3-1-k]}(g) @ W[k]^T
         midx = rulebook[k3 - 1 - k]
         msafe = jnp.where(midx >= 0, midx, self_idx)
         gg = jnp.where((midx >= 0)[:, None], gc[msafe], 0)
+        dw_list.append(
+            jax.lax.dot_general(
+                fc, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        )
         dx = dx + jax.lax.dot_general(
             gg, weights[k].astype(compute_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -777,18 +776,18 @@ def _sconv_bwd(res, g):
     dx = jnp.zeros((n_in, features.shape[1]), jnp.float32)
     dw_list = []
     for k in range(k3):
-        idx = rulebook[k]
-        safe = jnp.where(idx >= 0, idx, self_out % n_in)
-        xg = jnp.where((idx >= 0)[:, None], fc[safe], 0)
-        dw_list.append(
-            jax.lax.dot_general(
-                xg, gc, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-        )
+        # one inverse-rulebook gather serves both cotangents (the tap map
+        # out->in is injective, so sum over pairs rewrites to a sum over
+        # input rows): dW[k] = x^T @ gather_{rb_k^-1}(g)
         midx = inv[k]
         msafe = jnp.where(midx >= 0, midx, self_in)
         gg = jnp.where((midx >= 0)[:, None], gc[msafe], 0)
+        dw_list.append(
+            jax.lax.dot_general(
+                fc, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        )
         dx = dx + jax.lax.dot_general(
             gg, weights[k].astype(compute_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
