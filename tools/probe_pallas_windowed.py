@@ -26,11 +26,13 @@ def timeit(f, *args, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
-def make_monotone_rulebook(n, k3, rng, miss=0.3):
+def make_monotone_rulebook(n, k3, rng, miss=0.3, group=9):
+    # group-coherent shifts, like real rulebooks: taps within a leading
+    # offset group differ by a few rows (y/z ravel steps), groups by a lot
     rbs = []
     for t in range(k3):
-        shift = rng.randint(-600, 600)
-        idx = np.arange(n) + shift + rng.randint(-8, 8, n)
+        shift = rng.randint(-600, 600) if t % group == 0 else shift
+        idx = np.arange(n) + shift + t % group * 3 + rng.randint(-8, 8, n)
         idx = np.clip(np.sort(idx), 0, n - 1)
         invalid = rng.rand(n) < miss
         rbs.append(np.where(invalid, -1, idx))
@@ -58,7 +60,7 @@ def main():
         if only and str(k3) + "-" + str(cin) != only:
             continue
         group = int(os.environ.get("PROBE_GROUP", group))
-        rb = jnp.asarray(make_monotone_rulebook(N, k3, rng))
+        rb = jnp.asarray(make_monotone_rulebook(N, k3, rng, group=group))
         feats = jnp.asarray(rng.randn(N, cin).astype(np.float32))
         w = jnp.asarray(rng.randn(k3, cin, cout).astype(np.float32) * 0.05)
 
@@ -79,7 +81,7 @@ def main():
 
         def pallas_fwd(feats, geom, w):
             f8 = pad_features(feats, padded_rows(N, WB), jnp.bfloat16)
-            out = windowed_conv_fwd(f8, geom, w.astype(jnp.bfloat16), WB)
+            out = windowed_conv_fwd(f8, geom, w.astype(jnp.bfloat16), WB, group)
             return out[:N], geom.covered
 
         def pallas_dw(feats, geom, g):
