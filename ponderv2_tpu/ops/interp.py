@@ -15,6 +15,7 @@ with x indexing W (fastest), y indexing H, z indexing D.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -57,36 +58,107 @@ def grid_sample_3d(
         ty = ty * ty * (3.0 - 2.0 * ty)
         tz = tz * tz * (3.0 - 2.0 * tz)
 
-    def corner(ix, iy, iz):
-        """Gather volume values at integer corner (ix, iy, iz) with padding."""
-        if padding_mode == "border":
-            cx = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-            cy = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-            cz = jnp.clip(iz, 0, D - 1).astype(jnp.int32)
-            valid = None
-        else:  # zeros
-            valid = (
-                (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
-            )
-            cx = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-            cy = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-            cz = jnp.clip(iz, 0, D - 1).astype(jnp.int32)
-        # volume (B, C, D, H, W); indices (B, M) -> out (B, C, M)
-        out = jax.vmap(lambda v, a, b_, c_: v[:, a, b_, c_])(volume, cz, cy, cx)
-        if valid is not None:
-            out = jnp.where(valid[:, None, :], out, 0.0)
-        return out
+    # TPU gathers are descriptor-bound (~32M rows/s measured, regardless of
+    # row bytes), so cut the descriptor count 4x: gather channels-last rows
+    # from a volume whose rows hold the 2x2 (y, x) corner quad (concat +
+    # roll along the two fastest spatial axes) — 2 quad-row gathers per
+    # sample instead of 8 corner gathers. Wrap rows (cx = W-1 / cy = H-1)
+    # are never gathered; per-corner selection keeps padding semantics.
+    vol_cl = jnp.moveaxis(volume, 1, -1)  # (B, D, H, W, C)
+    vol2 = jnp.concatenate(
+        [vol_cl, jnp.roll(vol_cl, -1, axis=3)], axis=-1
+    )  # row w = [v(w), v(w + 1)]
+    # the 4C quad copy is a 4x-volume HBM transient; fall back to plain
+    # per-corner y handling when it would be too large (e.g. batch 4+)
+    quad_bytes = 4 * volume.size * volume.dtype.itemsize
+    use_quad = quad_bytes <= int(
+        os.environ.get("PONDER_SAMPLE_QUAD_LIMIT", 2_600_000_000)
+    )
+    if use_quad:
+        vol4 = jnp.concatenate(
+            [vol2, jnp.roll(vol2, -1, axis=2)], axis=-1
+        )  # (B, D, H, W, 4C): quarters [y,x], [y,x+1], [y+1,x], [y+1,x+1]
 
-    out = jnp.zeros((B, C, points.shape[1]), dtype=volume.dtype)
+    cx_max = max(W - 2, 0)
+    cy_max = max(H - 2, 0)
+
+    def pair_x(ix0, iy, iz):
+        """Both x-corners (ix0, ix0+1) at exact (iy, iz) from vol2."""
+        cx = jnp.clip(ix0, 0, cx_max).astype(jnp.int32)
+        cy = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        cz = jnp.clip(iz, 0, D - 1).astype(jnp.int32)
+        row = jax.vmap(lambda v, a, b_, c_: v[a, b_, c_])(vol2, cz, cy, cx)
+        lo, hi = row[..., :C], row[..., C:]
+        outs = []
+        for dx in (0, 1):
+            ix = ix0 + dx
+            if padding_mode == "border":
+                ex = jnp.clip(ix, 0, W - 1)
+                val = jnp.where((ex == cx)[:, :, None], lo, hi)
+            else:  # zeros
+                valid = (
+                    (ix >= 0) & (ix < W)
+                    & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
+                )
+                val = jnp.where((ix == cx)[:, :, None], lo, hi)
+                val = jnp.where(valid[:, :, None], val, 0.0)
+            outs.append(val)
+        return outs
+
+    def quad(ix0, iy0, iz):
+        """The four (y, x) corners at depth iz -> dict[(dy, dx)] (B,M,C)."""
+        if not use_quad:
+            outs = {}
+            for dy in (0, 1):
+                lo, hi = pair_x(ix0, iy0 + dy, iz)
+                outs[(dy, 0)], outs[(dy, 1)] = lo, hi
+            return outs
+        cx = jnp.clip(ix0, 0, cx_max).astype(jnp.int32)
+        cy = jnp.clip(iy0, 0, cy_max).astype(jnp.int32)
+        cz = jnp.clip(iz, 0, D - 1).astype(jnp.int32)
+        row = jax.vmap(lambda v, a, b_, c_: v[a, b_, c_])(vol4, cz, cy, cx)
+        quarters = [row[..., i * C:(i + 1) * C] for i in range(4)]
+        outs = {}
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ix = ix0 + dx
+                iy = iy0 + dy
+                if padding_mode == "border":
+                    ex = jnp.clip(ix, 0, W - 1)
+                    ey = jnp.clip(iy, 0, H - 1)
+                    qx = (ex == cx + 1)
+                    qy = (ey == cy + 1)
+                    mask_ok = None
+                else:  # zeros
+                    mask_ok = (
+                        (ix >= 0) & (ix < W)
+                        & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
+                    )
+                    qx = (ix == cx + 1)
+                    qy = (iy == cy + 1)
+                hi_x = qx[:, :, None]
+                hi_y = qy[:, :, None]
+                val = jnp.where(
+                    hi_y,
+                    jnp.where(hi_x, quarters[3], quarters[2]),
+                    jnp.where(hi_x, quarters[1], quarters[0]),
+                )
+                if mask_ok is not None:
+                    val = jnp.where(mask_ok[:, :, None], val, 0.0)
+                outs[(dy, dx)] = val
+        return outs
+
+    out = jnp.zeros((B, points.shape[1], C), dtype=volume.dtype)
     for dz in (0, 1):
         wz = (1.0 - tz) if dz == 0 else tz
+        vals = quad(x0, y0, z0 + dz)
         for dy in (0, 1):
             wy = (1.0 - ty) if dy == 0 else ty
             for dx in (0, 1):
                 wx = (1.0 - tx) if dx == 0 else tx
-                w = (wz * wy * wx)[:, None, :]
-                out = out + w * corner(x0 + dx, y0 + dy, z0 + dz)
-    return out
+                w = (wz * wy * wx)[:, :, None]
+                out = out + w * vals[(dy, dx)]
+    return jnp.swapaxes(out, 1, 2)  # (B, C, M)
 
 
 def sample_feature_volume(

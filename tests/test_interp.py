@@ -83,3 +83,17 @@ class TestGridSample3D:
         np.testing.assert_allclose(
             np.asarray(g(p_lo)), np.asarray(g(p_hi)), atol=1e-2
         )
+
+
+def test_pair_fallback_matches_quad(rng, monkeypatch):
+    """The low-memory x-pair path must equal the quad path exactly."""
+    vol = rng.randn(2, 3, 5, 6, 7).astype(np.float32)
+    pts = (rng.rand(2, 64, 3).astype(np.float32) * 2.4 - 1.2)
+    for mode in ("zeros", "border"):
+        ref = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(pts),
+                                        padding_mode=mode))
+        monkeypatch.setenv("PONDER_SAMPLE_QUAD_LIMIT", "0")
+        got = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(pts),
+                                        padding_mode=mode))
+        monkeypatch.delenv("PONDER_SAMPLE_QUAD_LIMIT")
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
