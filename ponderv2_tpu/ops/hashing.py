@@ -264,6 +264,29 @@ class PackedTable(NamedTuple):
     pad: int
 
 
+def _exclusive_cumsum_01(occ: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumsum of a 0/1 int32 vector via a blocked triangular
+    matmul: XLA's native cumsum runs log-N passes over the full array
+    (~30 ms at 113M cells on v5e); a (G, 256) @ strict-upper-triangular
+    (256, 256) bf16 MXU pass + a small block-offset scan is ~10x cheaper.
+    bf16 is exact for the 0..256 within-block counts."""
+    blk = 256
+    n = occ.shape[0]
+    if n < blk * 4:
+        return jnp.cumsum(occ) - occ
+    n_pad = -(-n // blk) * blk
+    padded = jnp.pad(occ, (0, n_pad - n)) if n_pad != n else occ
+    x = padded.reshape(-1, blk).astype(jnp.bfloat16)
+    tri = jnp.triu(jnp.ones((blk, blk), jnp.bfloat16), k=1)  # i < j
+    within = jax.lax.dot_general(
+        x, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (G, blk) exclusive within-block
+    sums = jnp.sum(x.astype(jnp.int32), axis=1)  # (G,)
+    offsets = jnp.cumsum(sums) - sums
+    return (within + offsets[:, None]).reshape(n_pad)[:n]
+
+
 def build_packed_table(
     coords: jnp.ndarray, spatial_shape: Sequence[int], batch_size: int,
     pad: int = 16,
@@ -278,7 +301,7 @@ def build_packed_table(
         jnp.zeros((length,), jnp.int32).at[tgt].add(jnp.where(ok, 1, 0))
     )
     occ = occ.at[pad + cells + pad].set(0)  # clear the dump slot
-    rank = jnp.cumsum(occ) - occ  # exclusive
+    rank = _exclusive_cumsum_01(occ)
     bits = jnp.zeros((length,), jnp.int32)
     for d in range(8):
         shifted = jnp.roll(occ, -d)  # occ[cell + d]; wraparound cells are
