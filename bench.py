@@ -82,6 +82,9 @@ def build_model_cfg():
             channels=(32, 64, 128, 256, 256, 128, 96, 96),
             layers=(2, 3, 4, 6, 2, 2, 2, 2),
             compute_dtype=jnp.bfloat16,
+            # remat recomputes every conv's gathers in the backward; off by
+            # default since the custom-VJP conv residuals fit HBM at bs2
+            remat=os.environ.get("BENCH_REMAT", "0") == "1",
         ),
         projection=dict(type="UNet3D-v1m2", in_channels=96, out_channels=128,
                         f_maps=32, num_levels=4),
