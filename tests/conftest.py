@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is jit-compile dominated, and the
+# cache is shared across runs and pytest-xdist workers (pytest -n auto).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PONDER_JAX_CACHE", "/tmp/ponder_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
