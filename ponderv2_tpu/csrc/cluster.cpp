@@ -2,38 +2,19 @@
 //
 // Native equivalent of the reference's pointgroup_ops CUDA ballquery + C++ BFS
 // (/root/reference/libs/pointgroup_ops/src/bfs_cluster.cpp:40-145): two points
-// connect iff within `radius` AND sharing a semantic class. Uses a uniform grid
-// hash (cell = radius) + union-find with path compression; O(n * 27 * k).
+// connect iff within `radius` (strict) AND sharing a semantic class. Uses a
+// uniform grid hash (cell = radius) to build index-ordered neighbor lists
+// (capped at the reference kernel's 1000), then the reference's exact BFS.
 //
 // Build: ponderv2_tpu/csrc/build.sh  ->  libponder_cluster.so (ctypes ABI).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <unordered_map>
 #include <vector>
 
 namespace {
-
-struct UnionFind {
-  std::vector<int32_t> parent;
-  explicit UnionFind(int32_t n) : parent(n) {
-    for (int32_t i = 0; i < n; ++i) parent[i] = i;
-  }
-  int32_t find(int32_t x) {
-    int32_t root = x;
-    while (parent[root] != root) root = parent[root];
-    while (parent[x] != root) {
-      int32_t next = parent[x];
-      parent[x] = root;
-      x = next;
-    }
-    return root;
-  }
-  void unite(int32_t a, int32_t b) {
-    int32_t ra = find(a), rb = find(b);
-    if (ra != rb) parent[rb] = ra;
-  }
-};
 
 inline int64_t cell_key(int64_t cx, int64_t cy, int64_t cz) {
   // large-prime mix; exactness not required (collisions only add candidates)
@@ -63,38 +44,62 @@ int32_t ponder_bfs_cluster(const float* coords, const int32_t* classes,
     grid[cell_key(cx[i], cy[i], cz[i])].push_back(i);
   }
 
-  UnionFind uf(n);
+  // Per-point neighbor lists in ASCENDING INDEX ORDER, truncated at the
+  // reference kernel's hard cap of 1000 (bfs_cluster_kernel.cu idx_temp[1000];
+  // the kernel scans refs in index order and breaks past the cap). Neighbors
+  // include self (d2 = 0 < r2) and use a STRICT d2 < r2 test.
+  constexpr int32_t kNeighborCap = 1000;
+  std::vector<std::vector<int32_t>> nbr(n);
+  std::vector<int32_t> cand;
   for (int32_t i = 0; i < n; ++i) {
     const float xi = coords[3 * i], yi = coords[3 * i + 1], zi = coords[3 * i + 2];
-    const int32_t ci = classes[i];
+    cand.clear();
     for (int64_t dx = -1; dx <= 1; ++dx)
       for (int64_t dy = -1; dy <= 1; ++dy)
         for (int64_t dz = -1; dz <= 1; ++dz) {
           auto it = grid.find(cell_key(cx[i] + dx, cy[i] + dy, cz[i] + dz));
           if (it == grid.end()) continue;
           for (int32_t j : it->second) {
-            if (j <= i || classes[j] != ci) continue;
             const float ddx = coords[3 * j] - xi;
             const float ddy = coords[3 * j + 1] - yi;
             const float ddz = coords[3 * j + 2] - zi;
-            if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) uf.unite(i, j);
+            if (ddx * ddx + ddy * ddy + ddz * ddz < r2) cand.push_back(j);
           }
         }
+    std::sort(cand.begin(), cand.end());
+    if ((int32_t)cand.size() > kNeighborCap) cand.resize(kNeighborCap);
+    nbr[i] = cand;
   }
 
-  // densify component ids, filter small components
-  std::unordered_map<int32_t, int32_t> count;
-  for (int32_t i = 0; i < n; ++i) count[uf.find(i)]++;
-  std::unordered_map<int32_t, int32_t> remap;
+  // Reference BFS (bfs_cluster.cpp:53-100): seed each unvisited point in
+  // ascending order; expand through neighbors sharing the CURRENT point's
+  // label; components below min_points are discarded but stay visited.
+  std::vector<int32_t> visited(n, 0);
+  std::vector<int32_t> queue, members;
   int32_t next_id = 0;
   for (int32_t i = 0; i < n; ++i) {
-    const int32_t root = uf.find(i);
-    if (count[root] >= min_points) {
-      auto it = remap.find(root);
-      if (it == remap.end()) it = remap.emplace(root, next_id++).first;
-      out_ids[i] = it->second;
+    if (visited[i]) continue;
+    members.clear();
+    queue.clear();
+    visited[i] = 1;
+    members.push_back(i);
+    queue.push_back(i);
+    size_t head = 0;
+    while (head < queue.size()) {
+      const int32_t cur = queue[head++];
+      const int32_t label_cur = classes[cur];
+      for (int32_t j : nbr[cur]) {
+        if (visited[j] || classes[j] != label_cur) continue;
+        visited[j] = 1;
+        members.push_back(j);
+        queue.push_back(j);
+      }
+    }
+    if ((int32_t)members.size() >= min_points) {
+      for (int32_t j : members) out_ids[j] = next_id;
+      ++next_id;
     } else {
-      out_ids[i] = -1;
+      for (int32_t j : members) out_ids[j] = -1;
     }
   }
   return next_id;

@@ -578,64 +578,74 @@ class GridSample:
         self.return_displacement = return_displacement
         self.project_displacement = project_displacement
 
+    def _voxel_runs(self, grid_coord):
+        """Group points into voxel runs: returns ``(order, starts, counts,
+        point_voxel)`` where ``order`` sorts points by voxel id, run ``v``
+        occupies ``order[starts[v] : starts[v] + counts[v]]``, and
+        ``point_voxel[p]`` is point ``p``'s voxel run id."""
+        ids = self.hash(grid_coord)
+        order = np.argsort(ids)
+        _, run_of_sorted, counts = np.unique(
+            ids[order], return_inverse=True, return_counts=True
+        )
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        point_voxel = np.empty_like(run_of_sorted)
+        point_voxel[order] = run_of_sorted
+        return order, starts, counts, point_voxel
+
     def __call__(self, data_dict):
         coord = data_dict["coord"]
         scaled = coord / np.array(self.grid_size)
         grid_coord = np.floor(scaled).astype(int)
-        min_coord = grid_coord.min(0)
-        grid_coord -= min_coord
-        scaled -= min_coord
-        min_coord = min_coord * np.array(self.grid_size)
-        key = self.hash(grid_coord)
-        idx_sort = np.argsort(key)
-        key_sort = key[idx_sort]
-        _, inverse, count = np.unique(key_sort, return_inverse=True, return_counts=True)
+        origin = grid_coord.min(0)
+        grid_coord -= origin
+        scaled -= origin
+        min_coord = origin * np.array(self.grid_size)
+        order, starts, counts, point_voxel = self._voxel_runs(grid_coord)
+
         if self.mode == "train":
-            idx_select = (
-                np.cumsum(np.insert(count, 0, 0)[0:-1])
-                + np.random.randint(0, count.max(), count.size) % count
-            )
-            idx_unique = idx_sort[idx_select]
+            # one random survivor per voxel run (a single randint batch, taken
+            # mod each run's length — matches the reference's sampling law)
+            draw = np.random.randint(0, counts.max(), counts.size) % counts
+            keep = order[starts + draw]
             if "sampled_index" in data_dict:
                 # forced keep for points referenced downstream (e.g. sparse depth)
                 anchor = np.unique(data_dict["sampled_index"])
-                idx_unique = np.unique(np.append(idx_unique, anchor))
-                mask = np.zeros(coord.shape[0], dtype=bool)
-                mask[data_dict["sampled_index"]] = True
-            out = dict(data_dict)
-            out = _index_points(out, idx_unique)
+                keep = np.unique(np.append(keep, anchor))
+                anchored = np.zeros(coord.shape[0], dtype=bool)
+                anchored[data_dict["sampled_index"]] = True
+            out = _index_points(dict(data_dict), keep)
             if "sampled_index" in data_dict:
-                out["sampled_index"] = np.where(mask[idx_unique])[0]
+                out["sampled_index"] = np.where(anchored[keep])[0]
             if self.return_inverse:
-                out["inverse"] = np.zeros_like(inverse)
-                out["inverse"][idx_sort] = inverse
+                out["inverse"] = point_voxel
             if self.return_grid_coord:
-                out["grid_coord"] = grid_coord[idx_unique]
+                out["grid_coord"] = grid_coord[keep]
             if self.return_min_coord:
                 out["min_coord"] = min_coord.reshape(1, 3)
             if self.return_displacement:
                 disp = scaled - grid_coord - 0.5
                 if self.project_displacement:
                     disp = np.sum(disp * data_dict["normal"], axis=-1, keepdims=True)
-                out["displacement"] = disp[idx_unique]
+                out["displacement"] = disp[keep]
             return out
 
-        # test mode: complementary fragments
+        # test mode: count.max() complementary fragments — fragment i takes
+        # the (i mod len)-th point of every voxel run, so the fragments
+        # jointly cover every point (reference transform.py:1147-1175)
         fragments = []
-        for i in range(count.max()):
-            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + i % count
-            idx_part = idx_sort[idx_select]
-            part = dict(index=idx_part)
+        for i in range(counts.max()):
+            part_idx = order[starts + i % counts]
+            part = dict(index=part_idx)
             for key_name in data_dict.keys():
                 if key_name in self.keys:
-                    part[key_name] = data_dict[key_name][idx_part]
+                    part[key_name] = data_dict[key_name][part_idx]
                 else:
                     part[key_name] = data_dict[key_name]
             if self.return_inverse:
-                part["inverse"] = np.zeros_like(inverse)
-                part["inverse"][idx_sort] = inverse
+                part["inverse"] = point_voxel
             if self.return_grid_coord:
-                part["grid_coord"] = grid_coord[idx_part]
+                part["grid_coord"] = grid_coord[part_idx]
             if self.return_min_coord:
                 part["min_coord"] = min_coord.reshape(1, 3)
             fragments.append(part)
@@ -685,6 +695,8 @@ class SphereCrop:
             if self.sample_rate is not None
             else self.point_max
         )
+        if self.mode == "all":
+            return self._covering_crops(data_dict, point_max)
         if coord.shape[0] <= point_max:
             return data_dict
         if self.mode == "random":
@@ -693,6 +705,36 @@ class SphereCrop:
             center = coord[coord.shape[0] // 2]
         idx = np.argsort(np.sum((coord - center) ** 2, axis=1))[:point_max]
         return _index_points(data_dict, idx)
+
+    def _covering_crops(self, data_dict, point_max):
+        """Test-time covering crops (reference transform.py:1232-1281): emit a
+        LIST of sphere crops until every point appears in at least one. Crop
+        centers follow a potential field — each crop raises the potential of
+        its points by (1 - d2/max d2)^2 and the next center is the
+        lowest-potential point, pushing later crops toward uncovered regions.
+        Each crop carries ``weight`` (its d2 to the center) and ``index``
+        (original row ids) for vote merging."""
+        coord = data_dict["coord"]
+        n = coord.shape[0]
+        if "index" not in data_dict:
+            data_dict["index"] = np.arange(n)
+        if n <= point_max:
+            out = dict(data_dict)
+            out["weight"] = np.zeros(n)
+            return [out]
+        crops = []
+        potential = np.random.rand(n) * 1e-3
+        covered = np.zeros(n, bool)
+        while not covered.all():
+            center = coord[np.argmin(potential)]
+            d2 = np.sum((coord - center) ** 2, axis=1)
+            idx_crop = np.argsort(d2)[:point_max]
+            crop = _index_points(dict(data_dict), idx_crop)
+            crop["weight"] = d2[idx_crop]
+            crops.append(crop)
+            potential[idx_crop] += np.square(1 - d2[idx_crop] / d2[idx_crop].max())
+            covered[idx_crop] = True
+        return crops
 
 
 @TRANSFORMS.register_module()

@@ -268,7 +268,7 @@ class Trainer(TrainerBase):
                 metric_keys=tuple(cfg.get("metric_keys", ())),
                 rng_seed=cfg.get("seed", 0),
             )
-        self.eval_step = make_eval_step(self.model, self.static_ctx)
+        self.eval_step = make_eval_step(self.model, self.val_static_ctx)
         self.register_hooks(cfg.get("hooks", []))
 
     # ------------------------------------------------------------------ build
@@ -279,6 +279,18 @@ class Trainer(TrainerBase):
             batch_size=int(self.cfg.batch_size) // self.num_devices,
         )
         ctx.update(self.cfg.get("static_ctx", {}))
+        return ctx
+
+    @property
+    def val_static_ctx(self) -> Dict[str, Any]:
+        """Eval-shape context: the val loader collates with
+        ``scene_budget=batch_size_val`` (unsharded), so the eval step's static
+        batch_size must match it — NOT the per-device train batch size
+        (a pretrain model's stacked per-scene arrays, e.g. rgb (B, V, H, W, 3),
+        would otherwise shape-mismatch whenever batch_size_val differs)."""
+        ctx = dict(self.static_ctx)
+        ctx["batch_size"] = int(self.cfg.get("batch_size_val", 1))
+        ctx.update(self.cfg.get("static_ctx_val", {}))
         return ctx
 
     def build_train_loader(self):

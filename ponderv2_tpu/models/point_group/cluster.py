@@ -1,12 +1,14 @@
-"""Instance clustering: radius-graph connected components (host-side).
+"""Instance clustering: radius-graph BFS components (host-side).
 
 Reference: the pointgroup_ops CUDA ballquery + C++ BFS
 (/root/reference/libs/pointgroup_ops/src/bfs_cluster.cpp:40-145, used at
 ponder/models/point_group/point_group_v1m1_base.py:119-131). Clustering is
-inference-only postprocessing, so it stays off the device hot path: a
-scipy-KDTree radius graph + union-find on host, grouping same-class points into
-instance proposals. Mirrors ``ballquery_batch_p`` + ``bfs_cluster`` semantics:
-two points connect iff within ``radius`` AND sharing a semantic class.
+inference-only postprocessing, so it stays off the device hot path. Protocol
+is EXACT to the reference: per-point neighbor lists are in-radius (strict
+``d2 < r2``), in ascending index order, truncated at the kernel's hard cap of
+1000 (bfs_cluster_kernel.cu ``idx_temp[1000]``); components grow by BFS
+through neighbors sharing the current point's semantic label, seeded in
+ascending index order; small components are discarded but stay visited.
 """
 
 from __future__ import annotations
@@ -30,7 +32,11 @@ def _load_native() -> Optional[ctypes.CDLL]:
     _NATIVE_TRIED = True
     csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
     so_path = os.path.abspath(os.path.join(csrc, "libponder_cluster.so"))
-    if not os.path.isfile(so_path):
+    cpp_path = os.path.abspath(os.path.join(csrc, "cluster.cpp"))
+    stale = os.path.isfile(so_path) and os.path.isfile(cpp_path) and (
+        os.path.getmtime(so_path) < os.path.getmtime(cpp_path)
+    )
+    if not os.path.isfile(so_path) or stale:
         try:
             subprocess.run(
                 ["bash", os.path.join(os.path.abspath(csrc), "build.sh")],
@@ -52,22 +58,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
     return _NATIVE
 
 
-class _UnionFind:
-    def __init__(self, n: int):
-        self.parent = np.arange(n)
-
-    def find(self, x: int) -> int:
-        root = x
-        while self.parent[root] != root:
-            root = self.parent[root]
-        while self.parent[x] != root:
-            self.parent[x], x = root, self.parent[x]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
+NEIGHBOR_CAP = 1000  # reference kernel idx_temp[1000]
 
 
 def bfs_cluster(
@@ -79,8 +70,10 @@ def bfs_cluster(
     """Cluster ``coords`` (M, 3) with per-point ``classes`` (M,) into instances.
 
     Returns (instance_ids (M,), num_instances); unclustered points get -1.
-    Uses the native C++ grid-hash union-find when available (built from
-    ponderv2_tpu/csrc/cluster.cpp); falls back to scipy KDTree + python UF.
+    Cluster ids are assigned in BFS seed order (ascending first-member index),
+    matching the reference's cluster enumeration. Uses the native C++ grid-hash
+    BFS when available (built from ponderv2_tpu/csrc/cluster.cpp); the numpy
+    fallback below implements the identical protocol.
     """
     m = len(coords)
     if m == 0:
@@ -101,18 +94,39 @@ def bfs_cluster(
         return out.astype(np.int64), int(n_clusters)
 
     from scipy.spatial import cKDTree
-    uf = _UnionFind(m)
+
     tree = cKDTree(coords)
-    for i, j in tree.query_pairs(radius):
-        if classes[i] == classes[j]:
-            uf.union(i, j)
-    roots = np.array([uf.find(i) for i in range(m)])
+    # index-ordered, capped neighbor lists; strict < via tiny radius shrink is
+    # wrong for exactness — filter strictly instead
+    raw = tree.query_ball_point(coords, radius)
+    nbr = []
+    for i, cand in enumerate(raw):
+        cand = np.sort(np.asarray(cand, np.int64))
+        d2 = np.sum((coords[cand] - coords[i]) ** 2, axis=1)
+        cand = cand[d2 < radius * radius]
+        nbr.append(cand[:NEIGHBOR_CAP])
+
+    visited = np.zeros(m, bool)
     ids = np.full(m, -1, np.int64)
     next_id = 0
-    for root in np.unique(roots):
-        members = np.where(roots == root)[0]
+    for seed in range(m):
+        if visited[seed]:
+            continue
+        members = [seed]
+        visited[seed] = True
+        queue = [seed]
+        head = 0
+        while head < len(queue):
+            cur = queue[head]
+            head += 1
+            for j in nbr[cur]:
+                if visited[j] or classes[j] != classes[cur]:
+                    continue
+                visited[j] = True
+                members.append(j)
+                queue.append(j)
         if len(members) >= min_points:
-            ids[members] = next_id
+            ids[np.asarray(members)] = next_id
             next_id += 1
     return ids, next_id
 
@@ -124,12 +138,15 @@ def cluster_proposals(
     valid: np.ndarray,
     radius: float = 0.03,
     min_points: int = 50,
-    dual_set: bool = True,
+    dual_set: bool = False,
 ) -> List[np.ndarray]:
-    """PointGroup dual-set clustering: proposals from both the original and the
-    bias-shifted coordinates (reference clusters both sets and concatenates).
+    """PointGroup proposal clustering over the bias-shifted coordinates
+    (reference clusters ONLY ``center_pred``, point_group_v1m1_base.py:92-131).
+    ``dual_set=True`` additionally clusters the original coordinates and
+    concatenates both proposal sets — an extension beyond the reference
+    protocol, off by default.
 
-    Returns a list of boolean masks over the full point set.
+    Returns a list of boolean masks over the full point set, in cluster order.
     """
     idx = np.where(valid)[0]
     proposals: List[np.ndarray] = []

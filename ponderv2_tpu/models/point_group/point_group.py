@@ -30,9 +30,11 @@ class PointGroup(nn.Module):
     segment_ignore_index: Tuple[int, ...] = (-1, 0, 1)
     instance_ignore_index: int = -1
     cluster_thresh: float = 1.5
-    cluster_closed_points: int = 300
+    cluster_closed_points: int = 300  # ballquery buffer hint; the effective
+    #   per-point neighbor cap is the reference kernel's hard 1000 (cluster.py)
     cluster_propose_points: int = 100
     cluster_min_points: int = 50
+    cluster_dual_set: bool = False  # extension: also cluster original coords
     voxel_size: float = 0.02
 
     def setup(self):
@@ -122,6 +124,10 @@ class PointGroup(nn.Module):
         for b in np.unique(batch[batch >= 0]):
             sel = batch == b
             valid = sel & ~np.isin(classes, self.segment_ignore_index)
+            # reference protocol (point_group_v1m1_base.py:92-131): cluster
+            # ONLY center_pred = (coord + bias) / voxel_size at radius
+            # cluster_thresh — equivalent to unscaled coords at radius
+            # cluster_thresh * voxel_size
             masks = cluster_proposals(
                 coord,
                 coord + bias,
@@ -129,11 +135,16 @@ class PointGroup(nn.Module):
                 valid,
                 radius=self.cluster_thresh * self.voxel_size,
                 min_points=self.cluster_min_points,
+                dual_set=self.cluster_dual_set,
             )
             for m in masks:
-                if m.sum() < self.cluster_propose_points:
+                # reference keeps proposals with point count STRICTLY greater
+                # (proposals_point_num > cluster_propose_points, line 144)
+                if m.sum() <= self.cluster_propose_points:
                     continue
-                cls = np.bincount(classes[m]).argmax()
+                # BFS components are label-uniform; the reference takes the
+                # first member's class (line 141)
+                cls = classes[np.argmax(m)]
                 score = float(probs[m, cls].mean())
                 proposals.append(dict(mask=m, cls=int(cls), score=score, batch=int(b)))
         return proposals

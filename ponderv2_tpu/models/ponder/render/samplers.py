@@ -217,40 +217,157 @@ class NeuSAccSampler(NeuSSampler):
     """Alias (reference has an acceleration variant; functional parity)."""
 
 
+def laplace_density(sdf: jnp.ndarray, beta) -> jnp.ndarray:
+    """VolSDF Laplace-CDF density (reference fields/sdf_field.py LaplaceDensity):
+    sigma(s) = (1/beta) * Psi_beta(-s)."""
+    return (
+        0.5 + 0.5 * jnp.sign(-sdf) * (1.0 - jnp.exp(-jnp.abs(sdf) / beta))
+    ) / beta
+
+
+def volsdf_dstar(sdf: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
+    """VolSDF Theorem 1 bound d* per section (reference get_dstar,
+    ray_samplers.py:605-631): the minimum possible |sdf| inside a section of
+    length a with endpoint distances b, c — triangle-altitude geometry, zero
+    when the endpoint signs differ."""
+    a = deltas[..., :-1]
+    b = jnp.abs(sdf[..., :-1])
+    c = jnp.abs(sdf[..., 1:])
+    first = a**2 + b**2 <= c**2
+    second = a**2 + c**2 <= b**2
+    s = (a + b + c) / 2.0
+    area2 = jnp.maximum(s * (s - a) * (s - b) * (s - c), 0.0)
+    altitude = 2.0 * jnp.sqrt(area2) / jnp.maximum(a, 1e-10)
+    d_star = jnp.where(first, b, jnp.where(second, c, jnp.where(
+        (b + c - a) > 0, altitude, 0.0)))
+    same_sign = jnp.sign(sdf[..., 1:]) * jnp.sign(sdf[..., :-1]) == 1
+    d_star = jnp.where(same_sign, d_star, 0.0)
+    return jnp.concatenate([d_star, d_star[..., -1:]], axis=-1)
+
+
+def volsdf_error_bound(beta, sdf, d_star, deltas) -> jnp.ndarray:
+    """Max per-ray opacity-error bound at a given beta (reference
+    get_error_bound, ray_samplers.py:648-671). ``beta`` broadcasts (..., 1)."""
+    densities = laplace_density(sdf, beta)
+    delta_density = deltas * densities
+    integral = jnp.cumsum(delta_density[..., :-1], axis=-1)
+    integral = jnp.concatenate(
+        [jnp.zeros_like(integral[..., :1]), integral], axis=-1
+    )
+    error_per_section = jnp.exp(-d_star / beta) * deltas**2 / (4.0 * beta**2)
+    error_integral = jnp.cumsum(error_per_section, axis=-1)
+    bound_opacity = (
+        jnp.clip(jnp.exp(error_integral), a_max=1.0e6) - 1.0
+    ) * jnp.exp(-integral)
+    return jnp.max(bound_opacity, axis=-1)
+
+
 @SAMPLERS.register_module()
 class ErrorBoundedSampler:
-    """VolSDF error-bounded sampling (reference ray_samplers.py:631+, Alg. 1),
-    re-expressed with static iteration counts: uniform base samples, then a
-    fixed number of refinement rounds that add inverse-CDF samples where the
-    opacity-error bound (driven by the Laplace beta schedule) is largest."""
+    """VolSDF error-bounded sampling, Algorithm 1 (reference
+    ray_samplers.py:461-671): uniform eval samples; per-ray beta initialized
+    from the Lemma-2 upper bound, then refined by ``beta_iters`` bisection
+    steps between beta0 and the current beta against the Theorem-1 error
+    bound; up to ``max_total_iters - 1`` refinement rounds add eval samples
+    proportional to the error bound (merged sorted), and the final round
+    PDF-samples ``num_samples`` from the Laplace-density weights; extra
+    uniform samples are merged at the end.
+
+    Static-shape divergence from the reference, by design: the reference exits
+    its while-loop once ``beta.max() <= beta0``; here all ``max_total_iters``
+    rounds run with per-ray beta updates (identical math — converged rays keep
+    beta = beta0 and their error weights are ~0, so the added samples follow
+    the same distribution law), keeping one fixed compiled shape.
+    """
 
     def __init__(self, num_samples: int = 64, num_samples_eval: int = 128,
-                 num_samples_extra: int = 32, beta_iters: int = 5,
+                 num_samples_extra: int = 32, eps: float = 0.1,
+                 beta_iters: int = 10, max_total_iters: int = 5,
                  train_stratified: bool = True):
         self.num_samples = num_samples
         self.num_samples_eval = num_samples_eval
         self.num_samples_extra = num_samples_extra
+        self.eps = eps
         self.beta_iters = beta_iters
+        self.max_total_iters = max_total_iters
         self.uniform = UniformSampler(num_samples_eval, train_stratified)
         self.pdf = PDFSampler(num_samples, train_stratified=train_stratified)
+        self.pdf_eval = PDFSampler(num_samples_eval,
+                                   train_stratified=train_stratified)
 
     def total_samples(self) -> int:
         return self.num_samples + self.num_samples_extra
 
+    def _update_beta(self, beta0, beta, sdf, d_star, deltas):
+        """Reference get_updated_beta (ray_samplers.py:634-646): bisection in
+        [beta0, beta] for the smallest beta with error <= eps."""
+        err_at_b0 = volsdf_error_bound(beta0, sdf, d_star, deltas)
+        beta = jnp.where(err_at_b0 <= self.eps, beta0, beta)
+        beta_min = jnp.full_like(beta, beta0)
+        beta_max = beta
+        for _ in range(self.beta_iters):
+            beta_mid = 0.5 * (beta_min + beta_max)
+            err = volsdf_error_bound(
+                beta_mid[..., None], sdf, d_star, deltas
+            )
+            beta_max = jnp.where(err <= self.eps, beta_mid, beta_max)
+            beta_min = jnp.where(err > self.eps, beta_mid, beta_min)
+        return beta_max
+
     def __call__(self, nears, fars, sdf_fn, origins, directions,
-                 train: bool = False, rng=None, beta: float = 0.1):
-        rngs = (list(jax.random.split(rng, 2)) if rng is not None else [None, None])
+                 train: bool = False, rng=None, beta0: float = 0.1):
+        n_rng = self.max_total_iters + 2
+        rngs = (list(jax.random.split(rng, n_rng)) if rng is not None
+                else [None] * n_rng)
         starts, ends = self.uniform(nears, fars, train=train, rng=rngs[0])
-        pos = sample_positions(origins, directions, starts, ends)
-        sdf = jax.lax.stop_gradient(sdf_fn(pos))
-        # Laplace CDF density -> alphas -> weights; error concentrates where
-        # |sdf| is small relative to beta
-        density = (0.5 + 0.5 * jnp.sign(-sdf) * (1.0 - jnp.exp(-jnp.abs(sdf) / beta))) / beta
         deltas = jnp.maximum(ends - starts, 1e-6)
-        alphas = 1.0 - jnp.exp(-density * deltas)
-        weights, _ = get_weights_from_alphas(alphas)
-        fine_starts, _ = self.pdf(starts, ends, weights, train=train, rng=rngs[1])
-        # extra uniform coverage samples keep the far field represented
+        # beta upper bound (Lemma 2)
+        bound = (1.0 / (4.0 * jnp.log(self.eps + 1.0))) * jnp.sum(
+            deltas**2, axis=-1
+        )
+        beta = jnp.sqrt(bound)
+
+        fine_starts = None
+        for it in range(self.max_total_iters):
+            pos = sample_positions(origins, directions, starts, ends)
+            sdf = jax.lax.stop_gradient(sdf_fn(pos))
+            deltas = jnp.maximum(ends - starts, 1e-6)
+            d_star = volsdf_dstar(sdf, deltas)
+            beta = self._update_beta(beta0, beta, sdf, d_star, deltas)
+            density = laplace_density(sdf, beta[..., None])
+            if it < self.max_total_iters - 1:
+                # error-bound-proportional eval samples (Alg. 1 line 10)
+                error_per_section = (
+                    jnp.exp(-d_star / beta[..., None]) * deltas**2
+                    / (4.0 * beta[..., None] ** 2)
+                )
+                error_integral = jnp.cumsum(error_per_section, axis=-1)
+                _, transmittance = get_weights_from_alphas(
+                    1.0 - jnp.exp(-density * deltas)
+                )
+                err_weights = (
+                    jnp.clip(jnp.exp(error_integral), a_max=1.0e6) - 1.0
+                ) * transmittance
+                new_starts, _ = self.pdf_eval(
+                    starts, ends, err_weights, train=train, rng=rngs[it + 1]
+                )
+                all_starts = jnp.sort(
+                    jnp.concatenate([starts, new_starts], axis=-1), axis=-1
+                )
+                ends_last = jnp.maximum(ends[..., -1:], all_starts[..., -1:])
+                starts = all_starts
+                ends = jnp.concatenate(
+                    [all_starts[..., 1:], ends_last], axis=-1
+                )
+            else:
+                # final: volume-rendering sample set from density weights
+                weights, _ = get_weights_from_alphas(
+                    1.0 - jnp.exp(-density * deltas)
+                )
+                fine_starts, _ = self.pdf(
+                    starts, ends, weights, train=train, rng=rngs[it + 1]
+                )
+        # extra uniform coverage samples (reference num_samples_extra merge)
         extra = jnp.linspace(0.0, 1.0, self.num_samples_extra)
         extra = nears[..., None] + (fars - nears)[..., None] * extra
         all_starts = jnp.sort(
@@ -264,42 +381,80 @@ class ErrorBoundedSampler:
 
 @SAMPLERS.register_module()
 class UniSurfSampler:
-    """UniSurf-style surface-interval sampling (reference ray_samplers.py:672-793):
-    locate the first sign change of the sdf along coarse samples, then sample
-    densely inside a shrinking interval around it plus uniform background."""
+    """UniSurf surface-interval sampling (reference ray_samplers.py:672-793):
+    march ``num_marching_steps`` coarse samples; importance-sample
+    ``num_samples_importance`` from occupancy weights; find the first
+    outside->inside sdf sign change via the descending-cost-matrix argmin,
+    linearly interpolate the crossing depth z, and uniformly sample
+    ``num_samples_interval`` inside [z - dist*delta, z + dist*delta] (clipped
+    to the original near/far; rays without a crossing keep the full range);
+    the returned set is the sorted (euclidean) merge of both."""
 
-    def __init__(self, num_samples: int = 64, num_samples_interval: int = 32,
+    def __init__(self, num_samples_importance: int = 32,
+                 num_samples_interval: int = 32,
                  num_marching_steps: int = 128, delta: float = 0.05,
                  train_stratified: bool = True):
-        self.num_samples = num_samples
+        self.num_samples_importance = num_samples_importance
         self.num_samples_interval = num_samples_interval
         self.num_marching_steps = num_marching_steps
         self.delta = delta
-        self.uniform = UniformSampler(num_samples, train_stratified)
+        self.march = UniformSampler(num_marching_steps, train_stratified=False)
+        self.pdf = PDFSampler(num_samples_importance,
+                              train_stratified=train_stratified)
 
     def total_samples(self) -> int:
-        return self.num_samples + self.num_samples_interval
+        return self.num_samples_importance + self.num_samples_interval
+
+    def find_surface(self, m_starts, sdf, nears, fars):
+        """First outside->inside crossing depth per ray (reference cost-matrix
+        idiom, ray_samplers.py:730-763). Returns (z, mask)."""
+        n_samples = sdf.shape[-1]
+        sign_matrix = jnp.concatenate(
+            [
+                jnp.sign(sdf[..., :-1] * sdf[..., 1:]),
+                jnp.ones_like(sdf[..., :1]),
+            ],
+            axis=-1,
+        )
+        cost = sign_matrix * jnp.arange(n_samples, 0, -1, dtype=sdf.dtype)
+        values = jnp.min(cost, axis=-1)
+        indices = jnp.argmin(cost, axis=-1)
+        sdf_at = jnp.take_along_axis(sdf, indices[..., None], axis=-1)[..., 0]
+        mask = (values < 0) & (sdf_at > 0)
+        d_low = jnp.take_along_axis(m_starts, indices[..., None], axis=-1)[..., 0]
+        v_low = sdf_at
+        idx_hi = jnp.clip(indices + 1, a_max=n_samples - 1)
+        d_high = jnp.take_along_axis(m_starts, idx_hi[..., None], axis=-1)[..., 0]
+        v_high = jnp.take_along_axis(sdf, idx_hi[..., None], axis=-1)[..., 0]
+        z = (v_low * d_high - v_high * d_low) / jnp.where(
+            jnp.abs(v_low - v_high) < 1e-12, 1.0, v_low - v_high
+        )
+        return z, mask
 
     def __call__(self, nears, fars, sdf_fn, origins, directions,
-                 train: bool = False, rng=None):
-        march = UniformSampler(self.num_marching_steps, train_stratified=False)
-        m_starts, m_ends = march(nears, fars)
+                 train: bool = False, rng=None, occupancy_fn=None):
+        rngs = (list(jax.random.split(rng, 2)) if rng is not None
+                else [None, None])
+        m_starts, m_ends = self.march(nears, fars)
         pos = sample_positions(origins, directions, m_starts, m_ends)
         sdf = jax.lax.stop_gradient(sdf_fn(pos))
-        # first sign change along each ray (or far plane if none)
-        sign_change = (sdf[..., :-1] > 0) & (sdf[..., 1:] <= 0)
-        any_hit = jnp.any(sign_change, axis=-1)
-        first = jnp.argmax(sign_change, axis=-1)
-        mid = 0.5 * (m_starts + m_ends)
-        t_hit = jnp.take_along_axis(mid, first[..., None], axis=-1)[..., 0]
-        t_hit = jnp.where(any_hit, t_hit, 0.5 * (nears + fars))
-        lo = jnp.maximum(t_hit - self.delta, nears)
-        hi = jnp.minimum(t_hit + self.delta, fars)
-        interval = UniformSampler(self.num_samples_interval, train_stratified=train)
-        i_starts, i_ends = interval(lo, hi, train=train, rng=rng)
-        u_starts, u_ends = self.uniform(nears, fars, train=train, rng=rng)
+        if occupancy_fn is None:
+            occupancy_fn = lambda s: jax.nn.sigmoid(-10.0 * s)
+        occupancy = occupancy_fn(sdf)
+        weights, _ = get_weights_from_alphas(occupancy)
+        imp_starts, _ = self.pdf(m_starts, m_ends, weights, train=train,
+                                 rng=rngs[0])
+
+        z, mask = self.find_surface(m_starts, sdf, nears, fars)
+        dists = fars - nears
+        lo = jnp.where(mask, jnp.maximum(z - dists * self.delta, nears), nears)
+        hi = jnp.where(mask, jnp.minimum(z + dists * self.delta, fars), fars)
+        interval = UniformSampler(self.num_samples_interval,
+                                  train_stratified=train)
+        i_starts, _ = interval(lo, hi, train=train, rng=rngs[1])
+
         all_starts = jnp.sort(
-            jnp.concatenate([u_starts, i_starts], axis=-1), axis=-1
+            jnp.concatenate([imp_starts, i_starts], axis=-1), axis=-1
         )
         ends_last = jnp.maximum(fars[..., None], all_starts[..., -1:])
         return all_starts, jnp.concatenate(

@@ -121,6 +121,127 @@ def ball_query(
     return idx.reshape(-1, nsample)[:m], dist.reshape(-1, nsample)[:m]
 
 
+def random_ball_query(
+    rng: jax.Array,
+    radius: float,
+    nsample: int,
+    ref_xyz: jnp.ndarray,
+    ref_batch: jnp.ndarray,
+    query_xyz: jnp.ndarray,
+    query_batch: jnp.ndarray,
+    min_radius: float = 0.0,
+    chunk: int = 2048,
+    rank_of_row: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random-subset ball query (reference random_ball_query,
+    libs/pointops/functions/query.py:62-107 + src/random_ball_query/*.cu):
+    refs are scanned in a per-batch random permutation and the first
+    ``nsample`` hits are kept, where a hit is ``d2 <= 1e-5`` (self) or
+    ``min_r2 <= d2 < max_r2``. Short lists are filled with idx -1 and
+    dist2 1e10 (returned dist is sqrt, matching the reference wrapper).
+
+    The per-batch permutation is realized as a single random key-sort: rows
+    get a random strictly-increasing-in-batch rank, so scanning by rank
+    within a batch is a uniform permutation of that batch's rows.
+    """
+    m = query_xyz.shape[0]
+    n = ref_xyz.shape[0]
+    if rank_of_row is None:
+        # random rank of each ref row; only the relative order within a batch
+        # matters, and a global uniform permutation restricted to one batch's
+        # rows is a uniform permutation of them
+        perm = jnp.argsort(jax.random.uniform(rng, (n,)))
+        rank_of_row = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+    pad = (-m) % chunk
+    q_xyz = jnp.pad(query_xyz, ((0, pad), (0, 0)))
+    q_batch = jnp.pad(query_batch, (0, pad), constant_values=-1)
+    n_chunks = q_xyz.shape[0] // chunk
+    r2_max, r2_min = radius * radius, min_radius * min_radius
+
+    def one_chunk(carry, inputs):
+        cq, cb = inputs
+        d = _pairwise_sqdist(cq, ref_xyz)
+        hit = (
+            (cb[:, None] == ref_batch[None, :])
+            & (ref_batch[None, :] >= 0)
+            & ((d <= 1e-5) | ((d >= r2_min) & (d < r2_max)))
+        )
+        rank = jnp.where(hit, rank_of_row[None, :].astype(jnp.float32), _BIG)
+        neg_rank, idx = jax.lax.top_k(-rank, nsample)
+        found = -neg_rank < _BIG
+        dsel = jnp.take_along_axis(d, idx, axis=1)
+        idx = jnp.where(found, idx, -1).astype(jnp.int32)
+        dsel = jnp.where(found, dsel, _BIG)
+        return carry, (idx, dsel)
+
+    _, (idx, dist2) = jax.lax.scan(
+        one_chunk,
+        None,
+        (q_xyz.reshape(n_chunks, chunk, 3), q_batch.reshape(n_chunks, chunk)),
+    )
+    idx = idx.reshape(-1, nsample)[:m]
+    dist2 = dist2.reshape(-1, nsample)[:m]
+    return idx, jnp.sqrt(jnp.maximum(dist2, 0.0))
+
+
+def _group(feat, xyz, new_xyz, idx, with_xyz):
+    """Shared grouping body (reference libs/pointops/functions/utils.py:5-121):
+    gather neighbor features by idx; ``with_xyz`` prepends neighbor positions
+    relative to the query point. idx -1 rows produce zeros."""
+    safe = jnp.maximum(idx, 0)
+    valid = (idx >= 0)[..., None]
+    grouped = jnp.where(valid, feat[safe], 0.0)  # (m, nsample, c)
+    if with_xyz:
+        rel = jnp.where(valid, xyz[safe] - new_xyz[:, None, :], 0.0)
+        grouped = jnp.concatenate([rel, grouped], axis=-1)
+    return grouped
+
+
+def knn_query_and_group(
+    feat: jnp.ndarray,
+    xyz: jnp.ndarray,
+    batch: jnp.ndarray,
+    new_xyz: Optional[jnp.ndarray] = None,
+    new_batch: Optional[jnp.ndarray] = None,
+    idx: Optional[jnp.ndarray] = None,
+    nsample: Optional[int] = None,
+    with_xyz: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KNN + grouping composite (reference utils.py:5-23)."""
+    if new_xyz is None:
+        new_xyz, new_batch = xyz, batch
+    if idx is None:
+        assert nsample is not None
+        idx, _ = knn_query(nsample, xyz, batch, new_xyz, new_batch)
+    return _group(feat, xyz, new_xyz, idx, with_xyz), idx
+
+
+def ball_query_and_group(
+    feat: jnp.ndarray,
+    xyz: jnp.ndarray,
+    batch: jnp.ndarray,
+    new_xyz: Optional[jnp.ndarray] = None,
+    new_batch: Optional[jnp.ndarray] = None,
+    idx: Optional[jnp.ndarray] = None,
+    max_radius: Optional[float] = None,
+    min_radius: float = 0.0,
+    nsample: Optional[int] = None,
+    with_xyz: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ball query + grouping composite (reference utils.py:26-45)."""
+    if new_xyz is None:
+        new_xyz, new_batch = xyz, batch
+    if idx is None:
+        assert nsample is not None and max_radius is not None
+        idx, _ = ball_query(
+            max_radius, nsample, xyz, batch, new_xyz, new_batch,
+            min_radius=min_radius,
+        )
+    return _group(feat, xyz, new_xyz, idx, with_xyz), idx
+
+
 def farthest_point_sampling(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,

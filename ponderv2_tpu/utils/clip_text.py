@@ -38,6 +38,34 @@ def _fallback_embeddings(class_names: Sequence[str], dim: int) -> np.ndarray:
     return out
 
 
+_ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "clip_text",
+)
+
+
+def _find_committed_asset(class_names: Sequence[str]) -> Optional[str]:
+    """Committed embedding file whose meta class list matches exactly
+    (tools/export_clip_embeddings.py writes <vocab>.npy + <vocab>.meta.json)."""
+    if not os.path.isdir(_ASSETS_DIR):
+        return None
+    import json
+
+    for name in sorted(os.listdir(_ASSETS_DIR)):
+        if not name.endswith(".meta.json"):
+            continue
+        try:
+            with open(os.path.join(_ASSETS_DIR, name)) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if tuple(meta.get("classes", ())) == tuple(class_names):
+            npy = os.path.join(_ASSETS_DIR, name[: -len(".meta.json")] + ".npy")
+            if os.path.isfile(npy):
+                return npy
+    return None
+
+
 def get_text_embeddings(
     class_names: Sequence[str],
     template: str = _DEFAULT_TEMPLATE,
@@ -51,6 +79,13 @@ def get_text_embeddings(
     if key in _CACHE:
         return _CACHE[key]
     logger = get_root_logger()
+    if not embedding_path:
+        # committed per-vocabulary assets (assets/clip_text/) resolve by exact
+        # class-list match, so every standard vocabulary loads without config
+        # plumbing; see assets/clip_text/README.md for stub vs real provenance
+        embedding_path = _find_committed_asset(class_names)
+        if embedding_path:
+            logger.info(f"CLIP text embeddings from {embedding_path}")
     if embedding_path and os.path.isfile(embedding_path):
         emb = np.load(embedding_path).astype(np.float32)
         assert emb.shape[0] == len(class_names), (

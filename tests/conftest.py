@@ -20,11 +20,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the suite is jit-compile dominated, and the
-# cache is shared across runs and pytest-xdist workers (pytest -n auto).
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("PONDER_JAX_CACHE", "/tmp/ponder_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache: DISABLED by default for the CPU suite. XLA:CPU
+# AOT executable deserialization is unreliable on this host family — the
+# cpu_aot_loader logs machine-feature mismatches (+prefer-no-scatter etc.) on
+# every load and intermittently SEGFAULTs inside
+# compilation_cache.get_executable_and_time when a cached executable is
+# reloaded mid-trace (reproduced: full tests/test_spunet.py run, round 3).
+# Opt back in with PONDER_JAX_CACHE=/path for debugging.
+if os.environ.get("PONDER_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["PONDER_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

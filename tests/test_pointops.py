@@ -1,6 +1,7 @@
 """pointops vs numpy brute-force oracles."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ponderv2_tpu.ops.pointops import (
@@ -86,3 +87,108 @@ class TestInterpolation:
         out = np.asarray(grouping(jnp.asarray(feat), jnp.asarray(idx)))
         assert out.shape == (5, 3, 6)
         np.testing.assert_array_equal(out[2, 1], feat[idx[2, 1]])
+
+
+def _np_random_ball_query(rank_of_row, r_max, r_min, nsample, xyz, batch,
+                          qxyz, qbatch):
+    """Literal numpy port of the reference kernel semantics
+    (libs/pointops/src/random_ball_query/random_ball_query_cuda_kernel.cu):
+    scan refs in permutation order, keep first nsample hits."""
+    m = qxyz.shape[0]
+    idx = np.full((m, nsample), -1, np.int32)
+    d2_out = np.full((m, nsample), 1e10, np.float32)
+    order = np.argsort(rank_of_row)
+    for qi in range(m):
+        cnt = 0
+        for ri in order:
+            if batch[ri] != qbatch[qi] or batch[ri] < 0:
+                continue
+            d2 = np.sum((qxyz[qi] - xyz[ri]) ** 2)
+            if d2 <= 1e-5 or (r_min**2 <= d2 < r_max**2):
+                idx[qi, cnt] = ri
+                d2_out[qi, cnt] = d2
+                cnt += 1
+                if cnt >= nsample:
+                    break
+    return idx, np.sqrt(d2_out)
+
+
+class TestRandomBallQuery:
+    def test_matches_numpy_reference(self, rng):
+        from ponderv2_tpu.ops.pointops import random_ball_query
+
+        n, m, nsample = 60, 20, 6
+        xyz = rng.rand(n, 3).astype(np.float32)
+        batch = np.sort(rng.randint(0, 2, n)).astype(np.int32)
+        qxyz = rng.rand(m, 3).astype(np.float32)
+        qbatch = np.sort(rng.randint(0, 2, m)).astype(np.int32)
+        rank = rng.permutation(n).astype(np.int32)
+        idx, dist = random_ball_query(
+            jax.random.PRNGKey(0), 0.5, nsample, jnp.asarray(xyz),
+            jnp.asarray(batch), jnp.asarray(qxyz), jnp.asarray(qbatch),
+            min_radius=0.1, rank_of_row=jnp.asarray(rank),
+        )
+        ref_idx, ref_dist = _np_random_ball_query(
+            rank, 0.5, 0.1, nsample, xyz, batch, qxyz, qbatch
+        )
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(dist), ref_dist, rtol=1e-5)
+
+    def test_random_order_changes_selection(self, rng):
+        from ponderv2_tpu.ops.pointops import random_ball_query
+
+        n = 200
+        xyz = (rng.rand(n, 3) * 0.2).astype(np.float32)  # dense cluster
+        batch = np.zeros(n, np.int32)
+        q = xyz[:4]
+        qb = batch[:4]
+        i1, _ = random_ball_query(jax.random.PRNGKey(1), 0.5, 8,
+                                  jnp.asarray(xyz), jnp.asarray(batch),
+                                  jnp.asarray(q), jnp.asarray(qb))
+        i2, _ = random_ball_query(jax.random.PRNGKey(2), 0.5, 8,
+                                  jnp.asarray(xyz), jnp.asarray(batch),
+                                  jnp.asarray(q), jnp.asarray(qb))
+        assert not np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestQueryAndGroup:
+    def test_knn_group_with_xyz(self, rng):
+        from ponderv2_tpu.ops.pointops import knn_query, knn_query_and_group
+
+        n, c, k = 40, 5, 4
+        xyz = rng.rand(n, 3).astype(np.float32)
+        feat = rng.randn(n, c).astype(np.float32)
+        batch = np.zeros(n, np.int32)
+        grouped, idx = knn_query_and_group(
+            jnp.asarray(feat), jnp.asarray(xyz), jnp.asarray(batch),
+            nsample=k, with_xyz=True,
+        )
+        assert grouped.shape == (n, k, 3 + c)
+        idx_ref, _ = knn_query(k, jnp.asarray(xyz), jnp.asarray(batch))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        g = np.asarray(grouped)
+        i = np.asarray(idx)
+        np.testing.assert_allclose(
+            g[:, :, 3:], feat[i], rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            g[:, :, :3], xyz[i] - xyz[:, None, :], rtol=1e-5, atol=1e-5
+        )
+
+    def test_ball_group_zero_fills_invalid(self, rng):
+        from ponderv2_tpu.ops.pointops import ball_query_and_group
+
+        n, c = 30, 4
+        xyz = rng.rand(n, 3).astype(np.float32)
+        feat = rng.randn(n, c).astype(np.float32)
+        batch = np.zeros(n, np.int32)
+        idx = jnp.asarray(
+            np.stack([np.arange(n), np.full(n, -1)], axis=1).astype(np.int32)
+        )
+        grouped, _ = ball_query_and_group(
+            jnp.asarray(feat), jnp.asarray(xyz), jnp.asarray(batch),
+            idx=idx, with_xyz=True,
+        )
+        g = np.asarray(grouped)
+        assert np.all(g[:, 1, :] == 0)
+        np.testing.assert_allclose(g[:, 0, 3:], feat, rtol=1e-6)

