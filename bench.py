@@ -91,7 +91,8 @@ def build_model_cfg():
         renderer=dict(
             type="NeuSModel",
             field=dict(hidden_dim=128, num_layers=2, geo_feat_dim=64,
-                       semantic_dim=512, share_volume=False),
+                       semantic_dim=512, share_volume=False,
+                       compute_dtype=jnp.bfloat16),
             collider=dict(type="AABBBoxCollider", near_plane=0.01),
             sampler=dict(type="NeuSSampler", num_samples=96,
                          num_samples_importance=36, num_upsample_steps=1),

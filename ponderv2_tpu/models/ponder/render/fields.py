@@ -9,8 +9,9 @@ Reference: /root/reference/ponder/models/ponder/render_utils/fields/sdf_field.py
   replacing the 768-line CUDA backward-backward kernel.
 - SDF spatial gradients come from ``jax.grad`` of the scalarized field — exact,
   fused by XLA, no finite differences.
-- Decoders are residually-conditioned MLPs: h = fc_p(x)·points_factor + fc_c(feat),
-  Softplus(β=100) activations for the SDF branch, sigmoid RGB.
+- Decoders follow the reference's per-layer residually re-injected
+  conditioning (x = lin_l(x + fc_c_l(feat))), Softplus(β=100) activations for
+  the SDF branch, sigmoid RGB.
 """
 
 from __future__ import annotations
@@ -30,10 +31,20 @@ _softplus100 = lambda x: nn.softplus(x * 100.0) / 100.0
 
 
 class ResidualDecoder(nn.Module):
-    """Shared decoder skeleton: positional + conditioning inputs, residual adds."""
+    """Reference decoder skeleton (decoders.py:6-109): per-layer residually
+    re-injected conditioning. With L = n_blocks + 1 linears:
+
+        x = fc_p(points) * points_factor
+        for l in 0..L-1:
+            x = lin_l(x + fc_c_l(feats));  activation unless last layer
+
+    Every layer adds a FRESH linear projection of the conditioning features
+    before its linear; lin_{L-1} maps hidden -> out with no activation.
+    Multiple conditioning tensors are concatenated (the reference
+    concatenates at the call site, sdf_field.py:245-263)."""
 
     hidden_dim: int = 128
-    num_layers: int = 3
+    n_blocks: int = 1
     out_dim: int = 1
     points_factor: float = 1.0
     activation: str = "softplus"  # softplus | relu
@@ -42,13 +53,18 @@ class ResidualDecoder(nn.Module):
     @nn.compact
     def __call__(self, points: jnp.ndarray, *conds: jnp.ndarray) -> jnp.ndarray:
         act = _softplus100 if self.activation == "softplus" else nn.relu
-        h = nn.Dense(self.hidden_dim, name="fc_p")(points) * self.points_factor
-        for i, c in enumerate(conds):
-            h = h + nn.Dense(self.hidden_dim, name=f"fc_c{i}")(c)
-        h = act(h)
-        for i in range(self.num_layers - 1):
-            h = act(nn.Dense(self.hidden_dim, name=f"fc_{i}")(h))
-        return nn.Dense(self.out_dim, name="fc_out")(h)
+        feats = conds[0] if len(conds) == 1 else jnp.concatenate(conds, axis=-1)
+        x = nn.Dense(self.hidden_dim, name="fc_p")(points) * self.points_factor
+        n_lin = self.n_blocks + 1
+        for l in range(n_lin):
+            x = x + nn.Dense(self.hidden_dim, name=f"fc_c{l}")(feats)
+            out_d = self.out_dim if l == n_lin - 1 else self.hidden_dim
+            x = nn.Dense(out_d, name=f"lin{l}")(x)
+            if l < n_lin - 1:
+                x = act(x)
+        if self.final == "sigmoid":
+            x = jax.nn.sigmoid(x)
+        return x
 
 
 class SingleVarianceNetwork(nn.Module):
@@ -102,13 +118,21 @@ class SDFField(nn.Module):
     smoothstep: bool = True
     variance_init: float = 0.3
     sdf_bias: float = 0.0
+    rgb_n_blocks: int = 0
+    semantic_n_blocks: int = 0
+    compute_dtype: Optional[jnp.dtype] = None  # cast the volume for sampling
+    #   (bf16 halves the gather operand; TPU gather rate degrades with
+    #   operand size — measured round 3)
     share_volume: bool = False  # False: first half of channels -> sdf branch,
     #                             second half -> rgb/semantic (reference cfg)
 
     def setup(self):
+        # reference shipped sizes (configs/scannet/pretrain-...-base.py:35-56):
+        # sdf n_blocks=1, rgb/semantic n_blocks=0; ``num_layers`` keeps the
+        # historical config knob: sdf blocks = num_layers - 1
         self.sdf_decoder = ResidualDecoder(
             hidden_dim=self.hidden_dim,
-            num_layers=self.num_layers,
+            n_blocks=max(self.num_layers - 1, 0),
             out_dim=1 + self.geo_feat_dim,
             points_factor=self.points_factor,
             activation="softplus",
@@ -117,7 +141,7 @@ class SDFField(nn.Module):
         if self.use_color:
             self.rgb_decoder = ResidualDecoder(
                 hidden_dim=self.hidden_dim,
-                num_layers=self.num_layers,
+                n_blocks=self.rgb_n_blocks,
                 out_dim=3,
                 activation="relu",
                 name="rgb_decoder",
@@ -125,7 +149,7 @@ class SDFField(nn.Module):
         if self.use_semantic:
             self.semantic_decoder = ResidualDecoder(
                 hidden_dim=self.hidden_dim,
-                num_layers=self.num_layers,
+                n_blocks=self.semantic_n_blocks,
                 out_dim=self.semantic_dim,
                 activation="relu",
                 name="semantic_decoder",
@@ -138,6 +162,8 @@ class SDFField(nn.Module):
     def sample_features(self, volume: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
         """volume (B,C,X,Y,Z); points (B, ..., 3) in [0,1] -> (B, ..., C)."""
         B = volume.shape[0]
+        if self.compute_dtype is not None:
+            volume = volume.astype(self.compute_dtype)
         flat = points.reshape(B, -1, 3)
         grid = flat * 2.0 - 1.0  # [0,1] -> [-1,1]
         # our volume axes are (X,Y,Z) = (D,H,W) order with torch convention
@@ -146,7 +172,7 @@ class SDFField(nn.Module):
         # transpose volume to (B,C,Z,Y,X) so W-axis == x.
         vol = jnp.transpose(volume, (0, 1, 4, 3, 2))
         out = grid_sample_3d(vol, grid, align_corners=True, smoothstep=self.smoothstep)
-        out = jnp.swapaxes(out, 1, 2)  # (B, M, C)
+        out = jnp.swapaxes(out, 1, 2).astype(jnp.float32)  # (B, M, C)
         return out.reshape(*points.shape[:-1], volume.shape[1])
 
     def _split(self, feat: jnp.ndarray):
@@ -229,9 +255,11 @@ class SDFField(nn.Module):
             inv_s=inv_s,
         )
         if self.use_color:
+            # reference input order: gradients, appearance feat, geo, dirs
+            # (sdf_field.py:240-254)
             dirs = jnp.broadcast_to(directions[..., None, :], positions.shape)
             out["rgb"] = jax.nn.sigmoid(
-                self.rgb_decoder(positions, gradients, dirs, feat, geo)
+                self.rgb_decoder(positions, gradients, feat, geo, dirs)
             )
         if self.use_semantic:
             # reference semantic decoder: feat + geo + gradients, no view dirs

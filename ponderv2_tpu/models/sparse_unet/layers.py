@@ -10,13 +10,16 @@ import jax.numpy as jnp
 from ...ops.sparse import SparseTensor, make_sparse_tensor
 from ...ops.spconv import (
     StridedPlan,
+    SubmPlan,
     apply_sparse_conv,
     apply_sparse_conv_windowed,
     build_inverse_rulebook,
     build_strided_plan,
     build_subm_rulebook,
     kernel_offsets,
+    slab_pack,
     sparse_conv_gathered,
+    subm_conv_slab,
     subm_conv_symmetric,
     use_windowed_gather,
 )
@@ -63,9 +66,28 @@ class SubMConv(nn.Module):
             rulebook = build_subm_rulebook(
                 st.coords, st.spatial_shape, st.batch_size, self.kernel_size
             )
-        # gather-only backward via the mirrored rulebook (subm symmetry)
         dtype_token = jnp.zeros((0,), self.compute_dtype or st.features.dtype)
-        out = subm_conv_symmetric(st.features, rulebook, w, st.mask, dtype_token)
+        if isinstance(rulebook, SubmPlan) and cin <= 64:
+            # slab plan: one row gather per tap-column, slab-gather backward.
+            # Pays off at narrow widths where plain gathers are
+            # descriptor-bound (measured v5e: k5/6ch 3.7x, k3/32ch 1.3-1.45x,
+            # k3/96ch a wash) — wider convs take the plain path below.
+            kx, ky, kz = (self.kernel_size,) * 3 if isinstance(
+                self.kernel_size, int
+            ) else tuple(self.kernel_size)
+            cfg = (kx, ky, kz, slab_pack(kz, cin))
+            out = subm_conv_slab(
+                cfg, st.features, rulebook.r0, rulebook.selp, w, st.mask,
+                dtype_token,
+            )
+        else:
+            legacy = (
+                rulebook.legacy if isinstance(rulebook, SubmPlan) else rulebook
+            )
+            # gather-only backward via the mirrored rulebook (subm symmetry)
+            out = subm_conv_symmetric(
+                st.features, legacy, w, st.mask, dtype_token
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(st.mask[:, None], out + b, 0.0)

@@ -25,10 +25,13 @@ import jax.numpy as jnp
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
     build_strided_plan,
+    build_subm_plan,
     build_subm_rulebook,
     build_inverse_rulebook,
+    derive_inner_subm_plan,
     invert_strided_rulebook,
 )
+from ...ops import hashing as _hashing
 from ...ops.scatter import segment_mean
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm
@@ -176,6 +179,18 @@ class SpUNet(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = True  # rematerialize blocks: trade FLOPs for HBM (jax.checkpoint)
     scan_blocks: bool = True  # nn.scan over same-shape blocks (compile-time win)
+    slab_conv: bool = True  # slab (z-run) rulebooks: 1 gather per tap-column
+
+    def _build_subm(self, coords, spatial_shape, batch_size, kernel_size,
+                    with_legacy=True):
+        """Slab plan when the dense-grid regime applies, else legacy rulebook."""
+        if self.slab_conv and _hashing.dense_table_fits(
+            spatial_shape, batch_size
+        ):
+            return build_subm_plan(coords, spatial_shape, batch_size,
+                                   kernel_size, with_legacy=with_legacy)
+        return build_subm_rulebook(coords, spatial_shape, batch_size,
+                                   kernel_size)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> jnp.ndarray:
@@ -192,8 +207,11 @@ class SpUNet(nn.Module):
         unit = partial(unit_cls, eps=self.bn_eps, momentum=self.bn_momentum,
                        compute_dtype=self.compute_dtype)
 
-        # ---- stem: subm k5 (reference conv_input, indice_key="stem")
-        rb_stem = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
+        # ---- stem: subm k5 (reference conv_input, indice_key="stem"); its
+        # only direct consumer is the slab-path stem conv, so skip the big
+        # legacy rulebook (the derived inner k3 plan builds its own)
+        rb_stem = self._build_subm(st.coords, st.spatial_shape, st.batch_size,
+                                   5, with_legacy=False)
         x = unit(kind="subm", channels=self.base_channels, kernel_size=5,
                  name="stem")(st, rb_stem, train)
 
@@ -209,7 +227,7 @@ class SpUNet(nn.Module):
             x = unit(kind="strided", channels=self.channels[s],
                      out_spatial_shape=plan.spatial_shape,
                      name=f"down{s}")(x, (plan.out_coords, plan.rulebook), train)
-            rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            rb = self._build_subm(x.coords, x.spatial_shape, x.batch_size, 3)
             subm_rulebooks[s + 1] = rb
             if self.scan_blocks:
                 x = BlockStack(self.channels[s], self.layers[s], self.bn_eps,
@@ -250,13 +268,18 @@ class SpUNet(nn.Module):
                 # level-0 k3 rulebook = the k5 stem rulebook's inner 3x3x3
                 # taps (same coords, same table; k5 pad 2 + offset d equals
                 # k3 pad 1 + offset d-1) — a static row-select, no lookups
-                inner = [
-                    (dx * 5 + dy) * 5 + dz
-                    for dx in (1, 2, 3)
-                    for dy in (1, 2, 3)
-                    for dz in (1, 2, 3)
-                ]
-                rb = rb_stem[jnp.asarray(inner)]
+                from ...ops.spconv import SubmPlan
+
+                if isinstance(rb_stem, SubmPlan):
+                    rb = derive_inner_subm_plan(rb_stem, 5)
+                else:
+                    inner = [
+                        (dx * 5 + dy) * 5 + dz
+                        for dx in (1, 2, 3)
+                        for dy in (1, 2, 3)
+                        for dz in (1, 2, 3)
+                    ]
+                    rb = rb_stem[jnp.asarray(inner)]
                 subm_rulebooks[level] = rb
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:

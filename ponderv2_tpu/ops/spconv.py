@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import itertools
 import os
+from functools import partial
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -92,18 +93,20 @@ def build_subm_rulebook(
 
     if hashing.dense_table_fits(spatial_shape, batch_size):
         # dense-grid fast paths: no key sorts. Gathers are descriptor-bound
-        # on TPU (~60M scalar/s, and row/slice gathers are no faster per
-        # descriptor — measured), so the win is fewer gathers: the packed
-        # rank+occupancy table answers a whole z-run of taps with ONE
-        # scalar gather (125N -> 25N descriptors for the k5 stem). It
-        # requires key-sorted rows (see PackedTable docstring) — which
-        # every model path guarantees; PONDER_PACKED_RULEBOOK=0 falls back
-        # to the order-agnostic per-tap scalar lookup.
+        # on TPU (and gather rate degrades with operand size — measured
+        # round 3), so the win is both fewer gathers and a small table: the
+        # bitmap rank table answers a whole z-run of taps with ONE 16 B row
+        # gather (125N -> 25N descriptors for the k5 stem) from a table 16x
+        # smaller than the int32-per-cell grid (~2.2x faster lookups at
+        # bench shapes). It requires key-sorted rows (see BitmapTable
+        # docstring) — which every model path guarantees;
+        # PONDER_PACKED_RULEBOOK=0 falls back to the order-agnostic
+        # per-tap scalar lookup.
         kx, ky, kz = k
         zmode = os.environ.get("PONDER_PACKED_RULEBOOK", "1")
         if kz <= 8 and zmode == "1" and all(d % 2 == 1 for d in k):
             def packed_path(coords):
-                table = hashing.build_packed_table(
+                table = hashing.build_bitmap_table(
                     coords, spatial_shape, batch_size
                 )
                 bases = jnp.concatenate(
@@ -114,7 +117,7 @@ def build_subm_rulebook(
                     ],
                     axis=0,
                 )
-                runs = hashing.lookup_runs_packed(
+                runs = hashing.lookup_runs_bitmap(
                     table, bases, spatial_shape, kz
                 )
                 idx = runs.reshape(kx * ky, n, kz).transpose(0, 2, 1)
@@ -192,6 +195,330 @@ def build_subm_rulebook(
     )
     idx = hashing.lookup(table, queries, spatial_shape)
     return idx.reshape(k3, n)
+
+
+# ------------------------------------------------------- slab subm conv plan
+#
+# Voxel rows are ravel-key sorted, so the kz taps of one (dx, dy) tap-column's
+# z-run map to CONSECUTIVE input rows (rank, rank+1, ...). The slab plan
+# stores, per column, the base row r0 and a 4-bit-per-tap select code; the
+# conv then fetches each column's rows with ONE row gather from a "doubled
+# packed" feature view (pack consecutive voxel rows per physical row,
+# fp2[i] = rows [pack*i, pack*i + 2*pack)) and aligns taps with a cheap VPU
+# one-hot select. Measured v5e: gathers are descriptor-bound (row width is
+# nearly free up to ~512 B), so k3 drops 27N -> 9N descriptors and the k5
+# stem 125N -> 25N.
+
+
+class SubmPlan(NamedTuple):
+    """Slab rulebook for submanifold convs (plus an always-correct legacy
+    rulebook for the unsorted-rows fallback; see ``sorted_ok``).
+
+    - ``r0``: (kx*ky, N) int32 — rank of the column's z-window base cell.
+    - ``selp``: (kx*ky, N) int32 — 4 bits per z-tap ``dz``: bit 3 = tap
+      active, bits 0-2 = #occupied cells in the window before ``dz``
+      (so the tap's input row is ``r0 + prefix``).
+    - ``legacy``: (K^3, N) int32 — plain per-tap gather rulebook, correct
+      regardless of row order (when rows are sorted it is derived from
+      r0/selp arithmetically; otherwise rebuilt via per-tap table lookups).
+    - ``sorted_ok``: () bool — rows passed the rank==row self-check; gates
+      the slab fast path at apply time.
+    """
+
+    r0: jnp.ndarray
+    selp: jnp.ndarray
+    legacy: jnp.ndarray
+    sorted_ok: jnp.ndarray
+
+
+def slab_pack(kz: int, cin: int) -> int:
+    """Packing width for the slab gather: lane budget ~128-512 is the
+    descriptor-rate sweet spot (measured), and coverage of a kz-run needs
+    pack >= kz - 1."""
+    min_pack = 4 if kz > 3 else 2
+    ideal = 4 if cin <= 32 else 2
+    return max(min_pack, ideal)
+
+
+def build_subm_plan(
+    coords: jnp.ndarray,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    kernel_size,
+    with_legacy: bool = True,
+) -> SubmPlan:
+    """Build the slab plan (one bitmap row-gather per tap-column per row).
+
+    ``with_legacy=False`` skips the always-correct (K^3, N) rulebook and its
+    order-agnostic lax.cond fallback entirely (plan.legacy = None) — for
+    plans whose every consumer takes the slab path. This matters for memory:
+    the k5 stem's legacy is a (125, N) int32 buffer and the cond's fallback
+    branch reserves a dense-grid table temp (~0.5 GB at bench shapes).
+    """
+    k = _triple(kernel_size)
+    kx, ky, kz = k
+    assert kz <= 5 and all(d % 2 == 1 for d in k), (
+        "slab plans support odd centered kernels with kz <= 5"
+    )
+    pad = tuple((s - 1) // 2 for s in k)
+    offs = kernel_offsets(k)
+    k3 = len(offs)
+    n = coords.shape[0]
+    Z = int(spatial_shape[2])
+    dims = jnp.asarray([int(s) for s in spatial_shape], jnp.int32)
+    valid_row = jnp.all(coords >= 0, axis=1) & jnp.all(
+        coords[:, 1:4] < dims[None, :], axis=1
+    )
+    arange = jnp.arange(n, dtype=jnp.int32)
+
+    table = hashing.build_bitmap_table(coords, spatial_shape, batch_size)
+    bases = jnp.concatenate(
+        [
+            _query_coords(coords, (dx, dy, 0), 1, pad)
+            for dx in range(kx)
+            for dy in range(ky)
+        ],
+        axis=0,
+    )  # (kx*ky*n, 4) with z = z0 of each column's window
+    rank, occ8, col_ok = hashing.bitmap_rank_occ(table, bases, spatial_shape)
+    z0 = bases[:, 3]
+    sel = jnp.zeros_like(rank)
+    for dz in range(kz):
+        z = z0 + dz
+        ok = col_ok & (z >= 0) & (z < Z) & (((occ8 >> dz) & 1) == 1)
+        prefix = jax.lax.population_count(occ8 & ((1 << dz) - 1))
+        code = jnp.where(ok, 8 + prefix, 0)
+        sel = sel | (code << (4 * dz))
+    r0 = jnp.where(col_ok, rank, 0).reshape(kx * ky, n)
+    selp = sel.reshape(kx * ky, n)
+
+    # rank == row self-check (BitmapTable sortedness contract): the center
+    # tap must be the identity on every valid in-shape row.
+    c_mid = (kx * ky - 1) // 2
+    dz_mid = (kz - 1) // 2
+    code_mid = (selp[c_mid] >> (4 * dz_mid)) & 0xF
+    center_row = r0[c_mid] + (code_mid & 7)
+    sorted_ok = jnp.all(
+        jnp.where(
+            valid_row, (code_mid >= 8) & (center_row == arange), code_mid < 8
+        )
+    )
+
+    def derive_legacy(_):
+        rows = []
+        for c in range(kx * ky):
+            for dz in range(kz):
+                code = (selp[c] >> (4 * dz)) & 0xF
+                rows.append(jnp.where(code >= 8, r0[c] + (code & 7), -1))
+        return jnp.stack(rows, axis=0)
+
+    def scalar_path(_):
+        tab = hashing.build_dense_table(coords, spatial_shape, batch_size)
+        queries = jnp.concatenate(
+            [_query_coords(coords, off, 1, pad) for off in offs], axis=0
+        )
+        return hashing.lookup(tab, queries, spatial_shape).reshape(k3, n)
+
+    legacy = (
+        jax.lax.cond(sorted_ok, derive_legacy, scalar_path, None)
+        if with_legacy else None
+    )
+    # contract violation -> poison the slab encoding to all-inactive taps
+    # (all-zero conv outputs: loud, never silently wrong); legacy above stays
+    # correct for consumers that use it
+    selp = jnp.where(sorted_ok, selp, 0)
+    return SubmPlan(r0, selp, legacy, sorted_ok)
+
+
+def derive_inner_subm_plan(plan: SubmPlan, outer_kernel: int = 5) -> SubmPlan:
+    """The k3 plan is a static sub-select of the k5 plan: inner (dx, dy)
+    columns, z-taps shifted by one (k5 pad 2 + tap d == k3 pad 1 + tap d-1).
+    No lookups at all — replaces a full rulebook build at the finest level."""
+    ko = _triple(outer_kernel)
+    kx, ky, kz = ko
+    assert (kx, ky, kz) == (5, 5, 5)
+    cols = [dx * ky + dy for dx in (1, 2, 3) for dy in (1, 2, 3)]
+    cols_idx = jnp.asarray(cols)
+    sel5 = plan.selp[cols_idx]
+    # the k3 window base is one z-cell above the k5 one; shift the rank and
+    # prefixes by the occupancy of that cell (k5 tap 0's active bit) so the
+    # derived encoding is identical to a native k3 plan — required to keep
+    # select positions within pack-2 window coverage
+    present0 = (sel5 >> 3) & 1
+    r0 = plan.r0[cols_idx] + present0
+    selp = jnp.zeros_like(r0)
+    for dz in range(3):
+        code = (sel5 >> (4 * (dz + 1))) & 0xF
+        new = jnp.where(code >= 8, 8 + (code & 7) - present0, 0)
+        selp = selp | (new << (4 * dz))
+    if plan.legacy is not None:
+        inner = [
+            (dx * 5 + dy) * 5 + dz
+            for dx in (1, 2, 3)
+            for dy in (1, 2, 3)
+            for dz in (1, 2, 3)
+        ]
+        legacy = plan.legacy[jnp.asarray(inner)]
+    else:
+        # derive arithmetically from the slab encoding (valid when sorted;
+        # gated to all-inactive otherwise — same loud-zero poisoning as the
+        # slab path)
+        rows = []
+        for c in range(9):
+            for dz in range(3):
+                code = (selp[c] >> (4 * dz)) & 0xF
+                rows.append(
+                    jnp.where(
+                        plan.sorted_ok & (code >= 8), r0[c] + (code & 7), -1
+                    )
+                )
+        legacy = jnp.stack(rows, axis=0)
+    return SubmPlan(r0, selp, legacy, plan.sorted_ok)
+
+
+def _doubled_pack(features: jnp.ndarray, pack: int, dtype) -> jnp.ndarray:
+    """(N, C) -> (np + 1, 2*pack*C): row i holds voxel rows
+    [pack*i, pack*i + 2*pack), zero-padded past N; last row all-zero."""
+    n, c = features.shape
+    npk = -(-n // pack)
+    f = features.astype(dtype)
+    if npk * pack != n:
+        f = jnp.pad(f, ((0, npk * pack - n), (0, 0)))
+    fp = f.reshape(npk, pack * c)
+    zrow = jnp.zeros((1, pack * c), dtype)
+    fpad = jnp.concatenate([fp, zrow], axis=0)  # (np+1, pack*C)
+    return jnp.concatenate([fpad, jnp.concatenate([fpad[1:], zrow], 0)], axis=1)
+
+
+def _slab_extract_all(slab, r0c, selpc, kz, pack, lanes):
+    """Align ALL kz z-taps out of a (n, 2*pack, C) slab in ONE fused pass:
+    (n, kz, 2*pack) one-hot select, broadcast over C, reduced over the lane
+    axis. Emitting one op for every tap lets XLA read the gathered slab once
+    (per-tap ops were measured to re-read it kz times). Inactive taps
+    (code < 8) select nothing -> zero rows."""
+    n = slab.shape[0]
+    base = r0c & (pack - 1)
+    codes = jnp.stack(
+        [(selpc >> (4 * dz)) & 0xF for dz in range(kz)], axis=1
+    )  # (n, kz)
+    pos = jnp.where(codes >= 8, base[:, None] + (codes & 7), -1)
+    onehot = pos[:, :, None] == lanes[None, None, :]  # (n, kz, 2p)
+    return jnp.sum(
+        jnp.where(onehot[..., None], slab[:, None, :, :], 0), axis=2
+    )  # (n, kz, C)
+
+
+def _slab_conv_impl(features, r0, selp, weights, out_mask, compute_dtype, k,
+                    pack):
+    """Gather-per-column slab conv forward: per tap-column, ONE row gather
+    from the doubled-pack view, one fused kz-tap extraction, and one
+    (n, kz*Cin) x (kz*Cin, Cout) matmul."""
+    kx, ky, kz = k
+    ncols = kx * ky
+    n, cin = features.shape
+    cout = weights.shape[2]
+    precision = (
+        None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
+    fp2 = _doubled_pack(features, pack, compute_dtype)  # (np+1, 2*pack*cin)
+    npk = fp2.shape[0] - 1
+    lanes = jnp.arange(2 * pack, dtype=jnp.int32)
+    wc = weights.astype(compute_dtype)
+    acc = jnp.zeros((n, cout), jnp.float32)
+    for c in range(ncols):
+        q = jnp.clip(r0[c] >> (pack.bit_length() - 1), 0, npk)
+        g = fp2[q].reshape(n, 2 * pack, cin)
+        aligned = _slab_extract_all(g, r0[c], selp[c], kz, pack, lanes)
+        w_col = wc[c * kz:(c + 1) * kz].reshape(kz * cin, cout)
+        acc = acc + jnp.dot(
+            aligned.reshape(n, kz * cin), w_col,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    acc = jnp.where(out_mask[:, None], acc, 0.0)
+    return acc.astype(features.dtype)
+
+
+def _slab_bwd_impl(features, g, r0, selp, weights, compute_dtype, k, pack):
+    """dx and dW in one pass: per mirrored column, ONE slab gather of g
+    serves both cotangents (subm tap maps are bijective; the inverse of tap
+    t is the mirrored tap). Like the forward, all kz taps are extracted in
+    one fused pass and consumed by one wide matmul each for dx and dW."""
+    kx, ky, kz = k
+    ncols = kx * ky
+    n, cin = features.shape
+    k3 = ncols * kz
+    precision = (
+        None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
+    fc = features.astype(compute_dtype)
+    gp2 = _doubled_pack(g, pack, compute_dtype)
+    npk = gp2.shape[0] - 1
+    lanes = jnp.arange(2 * pack, dtype=jnp.int32)
+    cout = g.shape[1]
+    dx = jnp.zeros((n, cin), jnp.float32)
+    dw = [None] * k3
+    for c in range(ncols):
+        q = jnp.clip(r0[c] >> (pack.bit_length() - 1), 0, npk)
+        gg = gp2[q].reshape(n, 2 * pack, cout)
+        aligned = _slab_extract_all(gg, r0[c], selp[c], kz, pack, lanes)
+        # tap (c, dz) of the gather on g is the MIRROR of weight tap tm
+        tms = [(ncols - 1 - c) * kz + (kz - 1 - dz) for dz in range(kz)]
+        # dx += sum_dz aligned[:, dz] @ W[tm]^T as one (n, kz*cout) matmul
+        wm = jnp.concatenate(
+            [weights[tm].astype(compute_dtype).T for tm in tms], axis=0
+        )  # (kz*cout, cin)
+        dx = dx + jnp.dot(
+            aligned.reshape(n, kz * cout), wm,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # dW[tm] = fc^T @ aligned[:, dz]: one (cin, kz*cout) contraction
+        dwc = jax.lax.dot_general(
+            fc, aligned.reshape(n, kz * cout),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).reshape(cin, kz, cout)
+        for i, tm in enumerate(tms):
+            dw[tm] = dwc[:, i, :]
+    return dx.astype(features.dtype), jnp.stack(dw).astype(weights.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def subm_conv_slab(cfg, features, r0, selp, weights, out_mask, dtype_token):
+    """Submanifold conv over a :class:`SubmPlan` with a slab-gather forward
+    and a slab-gather-only backward. ``cfg`` = (kx, ky, kz, pack) static.
+
+    PRECONDITION: rows sorted ascending by ravel key (every model entry path
+    sorts via ops.sparse.sort_by_key, and deeper U-Net levels are sorted by
+    construction). ``build_subm_plan`` verifies the contract and poisons the
+    plan to all-zero outputs when it fails — a loud failure, never silent
+    wrong numerics. A runtime-branching fallback (lax.cond over whole conv
+    bodies) was measured to destabilize XLA:CPU compilation at full-model
+    scale (segfaults in backend_compile under cond+custom_vjp+remat+scan
+    nesting, round 3) and is deliberately avoided.
+    """
+    k, pack = cfg[:3], cfg[3]
+    return _slab_conv_impl(
+        features, r0, selp, weights, out_mask, dtype_token.dtype, k, pack
+    )
+
+
+def _subm_slab_fwd(cfg, features, r0, selp, weights, out_mask, dtype_token):
+    out = subm_conv_slab(cfg, features, r0, selp, weights, out_mask,
+                         dtype_token)
+    return out, (features, r0, selp, weights, out_mask, dtype_token)
+
+
+def _subm_slab_bwd(cfg, res, g):
+    features, r0, selp, weights, out_mask, dtype_token = res
+    k, pack = cfg[:3], cfg[3]
+    g = jnp.where(out_mask[:, None], g, 0.0)
+    dx, dw = _slab_bwd_impl(
+        features, g, r0, selp, weights, dtype_token.dtype, k, pack
+    )
+    return dx, None, None, dw, None, None
+
+
+subm_conv_slab.defvjp(_subm_slab_fwd, _subm_slab_bwd)
 
 
 class StridedPlan(NamedTuple):

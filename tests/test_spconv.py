@@ -362,3 +362,166 @@ class TestGatheredVJP:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestSlabPlan:
+    """Slab (z-run) subm plans: one gather per tap-column (round-3 fast path)."""
+
+    def _plan_and_ref(self, rng, kernel, shape=(10, 10, 10), batch=2, cin=4,
+                      n=60):
+        from ponderv2_tpu.ops.spconv import build_subm_plan
+
+        coords, feats = make_scene(rng, n, shape, batch, cin)
+        plan = build_subm_plan(jnp.asarray(coords), shape, batch, kernel)
+        rb = build_subm_rulebook(jnp.asarray(coords), shape, batch, kernel)
+        return coords, feats, plan, rb
+
+    @pytest.mark.parametrize("kernel", [3, 5])
+    def test_legacy_matches_rulebook(self, rng, kernel):
+        coords, feats, plan, rb = self._plan_and_ref(rng, kernel)
+        assert bool(plan.sorted_ok)
+        np.testing.assert_array_equal(np.asarray(plan.legacy), np.asarray(rb))
+
+    @pytest.mark.parametrize("kernel,cin", [(3, 4), (3, 40), (5, 4)])
+    def test_slab_conv_matches_plain(self, rng, kernel, cin):
+        from ponderv2_tpu.ops.spconv import slab_pack, subm_conv_slab
+
+        shape, batch, cout = (10, 10, 10), 2, 6
+        coords, feats, plan, rb = self._plan_and_ref(
+            rng, kernel, shape, batch, cin
+        )
+        weights = jnp.asarray(
+            rng.randn(kernel**3, cin, cout).astype(np.float32) * 0.2
+        )
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                                shape, batch)
+        ref = subm_conv(st, weights, rulebook=rb, kernel_size=kernel).features
+        cfg = (kernel, kernel, kernel, slab_pack(kernel, cin))
+        token = jnp.zeros((0,), jnp.float32)
+        out = subm_conv_slab(cfg, st.features, plan.r0, plan.selp, weights,
+                             st.mask, token)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_slab_grads_match_plain_autodiff(self, rng):
+        import jax
+
+        from ponderv2_tpu.ops.spconv import (
+            apply_sparse_conv, slab_pack, subm_conv_slab,
+        )
+
+        kernel, cin, cout = 3, 5, 3
+        shape, batch = (8, 8, 8), 2
+        coords, feats, plan, rb = self._plan_and_ref(
+            rng, kernel, shape, batch, cin, n=40
+        )
+        weights = jnp.asarray(
+            rng.randn(kernel**3, cin, cout).astype(np.float32) * 0.2
+        )
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                                shape, batch)
+        token = jnp.zeros((0,), jnp.float32)
+
+        def loss_slab(f, w):
+            cfg = (kernel, kernel, kernel, slab_pack(kernel, cin))
+            out = subm_conv_slab(cfg, f, plan.r0, plan.selp, w, st.mask,
+                                 token)
+            return jnp.sum(out * out)
+
+        def loss_plain(f, w):
+            out = apply_sparse_conv(f, rb, w, st.mask)
+            return jnp.sum(out * out)
+
+        gf_s, gw_s = jax.grad(loss_slab, argnums=(0, 1))(st.features, weights)
+        gf_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(st.features, weights)
+        np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_p),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_p),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_unsorted_detected_legacy_correct_slab_poisoned(self, rng):
+        """Contract violation (unsorted rows): the plan flags it, ``legacy``
+        stays exactly correct (the cond fallback rebuilds via lookups), and
+        the slab encoding is poisoned to all-zero outputs — loud, not
+        silently wrong."""
+        from ponderv2_tpu.ops.spconv import (
+            build_subm_plan, slab_pack, subm_conv_slab,
+        )
+
+        kernel, cin, cout = 3, 4, 6
+        shape, batch = (8, 8, 8), 2
+        coords, feats = make_scene(rng, 40, shape, batch, cin)
+        perm = rng.permutation(len(coords))
+        coords, feats = coords[perm], feats[perm]
+        plan = build_subm_plan(jnp.asarray(coords), shape, batch, kernel)
+        assert not bool(plan.sorted_ok)
+        rb = build_subm_rulebook(jnp.asarray(coords), shape, batch, kernel)
+        np.testing.assert_array_equal(np.asarray(plan.legacy), np.asarray(rb))
+        weights = jnp.asarray(
+            rng.randn(kernel**3, cin, cout).astype(np.float32) * 0.2
+        )
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                                shape, batch)
+        cfg = (kernel, kernel, kernel, slab_pack(kernel, cin))
+        token = jnp.zeros((0,), jnp.float32)
+        out = subm_conv_slab(cfg, st.features, plan.r0, plan.selp, weights,
+                             st.mask, token)
+        assert np.abs(np.asarray(out)).sum() == 0
+
+    def test_derive_inner_plan_matches_k3(self, rng):
+        from ponderv2_tpu.ops.spconv import (
+            build_subm_plan, derive_inner_subm_plan,
+        )
+
+        shape, batch = (10, 10, 10), 2
+        coords, feats = make_scene(rng, 60, shape, batch, 4)
+        plan5 = build_subm_plan(jnp.asarray(coords), shape, batch, 5)
+        plan3 = build_subm_plan(jnp.asarray(coords), shape, batch, 3)
+        derived = derive_inner_subm_plan(plan5, 5)
+        np.testing.assert_array_equal(np.asarray(derived.legacy),
+                                      np.asarray(plan3.legacy))
+        np.testing.assert_array_equal(np.asarray(derived.r0),
+                                      np.asarray(plan3.r0))
+        np.testing.assert_array_equal(np.asarray(derived.selp),
+                                      np.asarray(plan3.selp))
+
+
+class TestBitmapTable:
+    def test_runs_match_packed(self, rng):
+        from ponderv2_tpu.ops import hashing
+
+        shape, batch = (12, 12, 12), 2
+        coords, _ = make_scene(rng, 120, shape, batch, 1)
+        cj = jnp.asarray(coords)
+        bt = hashing.build_bitmap_table(cj, shape, batch)
+        pt = hashing.build_packed_table(cj, shape, batch)
+        rng2 = np.random.RandomState(1)
+        base = np.stack(
+            [
+                rng2.randint(0, batch, 300),
+                rng2.randint(-1, shape[0] + 1, 300),
+                rng2.randint(-1, shape[1] + 1, 300),
+                rng2.randint(-2, shape[2] + 1, 300),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        got = hashing.lookup_runs_bitmap(bt, jnp.asarray(base), shape, 5)
+        ref = hashing.lookup_runs_packed(pt, jnp.asarray(base), shape, 5)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_derive_inner_plan_without_legacy(self, rng):
+        """with_legacy=False stem plans: the derived k3 plan synthesizes its
+        own (correct) legacy rulebook arithmetically."""
+        from ponderv2_tpu.ops.spconv import (
+            build_subm_plan, derive_inner_subm_plan,
+        )
+
+        shape, batch = (10, 10, 10), 2
+        coords, _ = make_scene(rng, 60, shape, batch, 4)
+        plan5 = build_subm_plan(jnp.asarray(coords), shape, batch, 5,
+                                with_legacy=False)
+        assert plan5.legacy is None
+        plan3 = build_subm_plan(jnp.asarray(coords), shape, batch, 3)
+        derived = derive_inner_subm_plan(plan5, 5)
+        np.testing.assert_array_equal(np.asarray(derived.legacy),
+                                      np.asarray(plan3.legacy))

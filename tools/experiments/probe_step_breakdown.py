@@ -1,0 +1,98 @@
+"""Probe: sectional timing of the bench pretrain step on the real chip.
+
+Measures at bench shapes (BENCH_BS, default 2): model fwd (eval mode),
+fwd+grad, full train step — so each round's optimization targets the
+current biggest slice, not a stale one. Optionally dumps a profiler trace
+(PROBE_TRACE=/tmp/trace) for op-level attribution.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+import bench as B
+
+
+def timeit(fn, *args, iters=6):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from ponderv2_tpu.engines.train import TrainState, make_train_step
+    from ponderv2_tpu.models import build_model
+    from ponderv2_tpu.utils.optimizer import build_optimizer
+    from ponderv2_tpu.utils.scheduler import build_scheduler
+
+    batch_size = int(os.environ.get("BENCH_BS", "2"))
+    arrays = B.build_workload(
+        batch_size, int(os.environ.get("BENCH_POINTS", "100000")))
+    static_ctx = dict(spatial_shape=(544, 544, 192), batch_size=batch_size)
+    model = build_model(B.build_model_cfg())
+
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r, a: model.init(r, {**a, **static_ctx, "rng": r}, train=False)
+    )(rng, arrays)
+    schedule = build_scheduler(dict(type="OneCycleLR", max_lr=0.0005), 1000)
+    tx = build_optimizer(
+        dict(type="SGD", lr=0.0005, momentum=0.9, weight_decay=0.0001),
+        variables["params"], schedule,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        constants=variables.get("constants", {}),
+    )
+
+    def loss_fwd(params, a):
+        out = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {}),
+             "constants": variables.get("constants", {})},
+            {**a, **static_ctx, "rng": rng}, train=True,
+            mutable=["batch_stats"])
+        out = out[0]
+        loss = out["loss"] if isinstance(out, dict) else out
+        return jnp.asarray(loss, jnp.float32)
+
+    c_fwd = jax.jit(loss_fwd).lower(variables["params"], arrays).compile()
+    print("model fwd       %7.1f ms"
+          % timeit(lambda p, a: c_fwd(p, a), variables["params"], arrays))
+
+    c_grad = jax.jit(jax.grad(loss_fwd)).lower(
+        variables["params"], arrays).compile()
+    print("model fwd+grad  %7.1f ms"
+          % timeit(lambda p, a: c_grad(p, a), variables["params"], arrays))
+
+    step_j = make_train_step(model, tx, schedule, static_ctx)
+    c_step = step_j.lower(state, arrays).compile()
+
+    def run_step(s, a):
+        s2, m = c_step(s, a)
+        return m["loss"]
+
+    print("train step      %7.1f ms" % timeit(run_step, state, arrays))
+
+    trace_dir = os.environ.get("PROBE_TRACE")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(2):
+                s2, m = c_step(state, arrays)
+            jax.block_until_ready(m["loss"])
+        print("trace written to", trace_dir)
+
+
+if __name__ == "__main__":
+    main()
