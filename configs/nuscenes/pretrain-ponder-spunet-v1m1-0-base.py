@@ -30,8 +30,7 @@ model = dict(
         channels=(32, 64, 128, 256, 256, 128, 96, 96),
         layers=(2, 3, 4, 6, 2, 2, 2, 2),
     ),
-    projection=dict(type="SimpleConv3D-v1m1", in_channels=96, out_channels=32,
-                    num_layers=2),
+    projection=dict(type="SimpleConv3D-v1m1", in_channels=96, out_channels=32),
     renderer=dict(
         type="NeuSModel",
         field=dict(

@@ -272,7 +272,7 @@ class PonderIndoor(nn.Module):
         p_norm = self._normalize_points(coord, batch, loc, scale, z_shift)
 
         volume = self._build_volume(sparse_feat, p_norm, batch, B)
-        volume = self.proj_net(volume)
+        volume = self.proj_net(volume, train=train)
 
         ray_dict = self._sample_rays(input_dict, loc, scale, z_shift, rng_ray, train)
 

@@ -93,7 +93,8 @@ class PonderOutdoor(nn.Module):
         coord = input_dict["coord"].astype(jnp.float32)
         batch = input_dict["batch"]
         B = int(input_dict["batch_size"])
-        volume = self.proj_net(self._build_volume(feat, coord, batch, B))
+        volume = self.proj_net(self._build_volume(feat, coord, batch, B),
+                               train=train)
 
         # rays precomputed by transforms: (B, R, 3) after scene-dim collation
         ray_start = self._normalize(input_dict["ray_start"].astype(jnp.float32))

@@ -1,11 +1,21 @@
 """Dense 3D projection networks applied to the voxelized feature volume.
 
-Reference: /root/reference/ponder/models/ponder/unet3d.py (Abstract3DUNet 530-671;
-v1m1 = DoubleConv 674-707; v1m2 = SingleConv + groupnorm(1) + regression mode —
-the indoor-pretrain choice — 710-743; SimpleConv3D 16-34, used outdoor).
+Reference: /root/reference/ponder/models/ponder/unet3d.py (Abstract3DUNet
+530-671; v1m1 = DoubleConv + interpolation/concat decoder 674-707; v1m2 =
+SingleConv + TRANSPOSED-CONV/SUM decoder, regression mode — the indoor-pretrain
+choice — 710-743; SimpleConv3D 16-34, used outdoor).
 
-Volumes are channels-last (B, X, Y, Z, C) internally — the layout XLA's TPU conv
-wants — with (B, C, X, Y, Z) adapters at the boundary.
+Parity-relevant structure (round-3 corrections):
+- layer_order "bcr" (the reference default for both variants): BatchNorm3d on
+  the INPUT channels, then bias-free Conv3d, then ReLU — not post-conv
+  GroupNorm.
+- decoder joining rule (reference Decoder, unet3d.py:359-446): DoubleConv
+  basic modules use nearest interpolation + CONCAT (skip first); any other
+  basic module — including v1m2's SingleConv — uses ConvTranspose3d(k3, s2)
+  upsampling + SUMMATION joining.
+
+Volumes are channels-last (B, X, Y, Z, C) internally — the layout XLA's TPU
+conv wants — with (B, C, X, Y, Z) adapters at the boundary.
 """
 
 from __future__ import annotations
@@ -19,27 +29,53 @@ from ..builder import MODELS
 
 
 class SingleConv(nn.Module):
+    """norm/conv/relu in configurable order (reference create_conv,
+    unet3d.py:45-96). Supported orders: any sequence of 'b' (BatchNorm),
+    'g' (GroupNorm), 'c' (3x3x3 conv), 'r' (ReLU). Conv bias iff no norm."""
+
     out_channels: int
     num_groups: int = 1
+    order: str = "bcr"
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.GroupNorm(num_groups=self.num_groups)(x)
-        return nn.relu(x)
+    def __call__(self, x, train: bool = False):
+        use_bias = not ("g" in self.order or "b" in self.order)
+        for ch in self.order:
+            if ch == "c":
+                x = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                            use_bias=use_bias, name="conv")(x)
+            elif ch == "b":
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, name="batchnorm",
+                )(x)
+            elif ch == "g":
+                x = nn.GroupNorm(num_groups=self.num_groups,
+                                 name="groupnorm")(x)
+            elif ch == "r":
+                x = nn.relu(x)
+            else:
+                raise ValueError(f"unsupported layer order char {ch!r}")
+        return x
 
 
 class DoubleConv(nn.Module):
+    """Two SingleConvs; encoder halves the mid width (reference
+    unet3d.py:159-216, submodules SingleConv1/SingleConv2)."""
+
     out_channels: int
     num_groups: int = 8
     encoder: bool = True
+    order: str = "bcr"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mid = self.out_channels // 2 if self.encoder else self.out_channels
         mid = max(mid, 1)
-        x = SingleConv(mid, self.num_groups)(x)
-        x = SingleConv(self.out_channels, self.num_groups)(x)
+        x = SingleConv(mid, self.num_groups, self.order,
+                       name="SingleConv1")(x, train)
+        x = SingleConv(self.out_channels, self.num_groups, self.order,
+                       name="SingleConv2")(x, train)
         return x
 
 
@@ -53,15 +89,15 @@ class Abstract3DUNet(nn.Module):
     f_maps: int = 32
     num_levels: int = 3
     num_groups: int = 1
+    layer_order: str = "bcr"
     double_conv: bool = False
     final_sigmoid: bool = False
     is_segmentation: bool = False  # False = regression mode (no final activation)
 
     @nn.compact
-    def __call__(self, volume: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, volume: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """(B, C, X, Y, Z) -> (B, out_channels, X, Y, Z)."""
         x = jnp.transpose(volume, (0, 2, 3, 4, 1))  # channels-last
-        conv = DoubleConv if self.double_conv else SingleConv
         maps = _f_maps(self.f_maps, self.num_levels)
 
         skips = []
@@ -69,22 +105,41 @@ class Abstract3DUNet(nn.Module):
             if li > 0:
                 x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
             if self.double_conv:
-                x = conv(ch, self.num_groups, encoder=True, name=f"enc{li}")(x)
+                x = DoubleConv(ch, self.num_groups, encoder=True,
+                               order=self.layer_order, name=f"enc{li}")(
+                    x, train)
             else:
-                x = conv(ch, self.num_groups, name=f"enc{li}")(x)
+                x = SingleConv(ch, self.num_groups, order=self.layer_order,
+                               name=f"enc{li}")(x, train)
             skips.append(x)
 
         for li, ch in enumerate(reversed(maps[:-1])):
             skip = skips[-(li + 2)]
-            # nearest-neighbor upsample ×2
-            B, X, Y, Z, C = x.shape
-            x = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, 1), 2, 2), 2, 3)
-            x = x[:, : skip.shape[1], : skip.shape[2], : skip.shape[3]]
-            x = jnp.concatenate([x, skip], axis=-1)
             if self.double_conv:
-                x = conv(ch, self.num_groups, encoder=False, name=f"dec{li}")(x)
+                # interpolation upsampling + concat joining (skip first)
+                x = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, 1), 2, 2), 2, 3)
+                x = x[:, : skip.shape[1], : skip.shape[2], : skip.shape[3]]
+                x = jnp.concatenate([skip, x], axis=-1)
+                x = DoubleConv(ch, self.num_groups, encoder=False,
+                               order=self.layer_order, name=f"dec{li}")(
+                    x, train)
             else:
-                x = conv(ch, self.num_groups, name=f"dec{li}")(x)
+                # transposed-conv upsampling + summation joining (reference
+                # Decoder else-branch, used by v1m2's SingleConv modules).
+                # torch ConvTranspose3d(k=3, s=2, p=1, output_size=skip) ==
+                # lax.conv_transpose with per-dim padding (k-1-p, k-1-p+op)
+                # = (1, 2) and a flipped/transposed kernel
+                # (transpose_kernel=True takes torch's (out, in) order)
+                x = nn.ConvTranspose(
+                    ch, (3, 3, 3), strides=(2, 2, 2),
+                    padding=((1, 2), (1, 2), (1, 2)),
+                    transpose_kernel=True,
+                    name=f"dec{li}_up",
+                )(x)
+                x = x[:, : skip.shape[1], : skip.shape[2], : skip.shape[3]]
+                x = skip + x
+                x = SingleConv(ch, self.num_groups, order=self.layer_order,
+                               name=f"dec{li}")(x, train)
 
         x = nn.Conv(self.out_channels, (1, 1, 1), name="final")(x)
         if self.is_segmentation and self.final_sigmoid:
@@ -96,13 +151,14 @@ class Abstract3DUNet(nn.Module):
 class UNet3Dv1m1(Abstract3DUNet):
     double_conv: bool = True
     num_groups: int = 8
+    num_levels: int = 4
 
 
 @MODELS.register_module(name="UNet3D-v1m2")
 class UNet3Dv1m2(Abstract3DUNet):
-    """SingleConv, groupnorm(1), regression mode — the indoor pretrain projector.
-
-    Reference defaults (unet3d.py:710-743): f_maps=32, num_levels=4."""
+    """SingleConv + bcr + transposed-conv/sum decoder, regression mode — the
+    indoor pretrain projector (reference unet3d.py:710-743 defaults:
+    f_maps=32, num_levels=4, layer_order='bcr')."""
 
     double_conv: bool = False
     num_groups: int = 1
@@ -112,16 +168,19 @@ class UNet3Dv1m2(Abstract3DUNet):
 
 @MODELS.register_module(name="SimpleConv3D-v1m1")
 class SimpleConv3D(nn.Module):
-    """conv-norm-relu stack (outdoor projector, reference unet3d.py:16-34)."""
+    """One conv (with bias) + BatchNorm + ReLU (outdoor projector, reference
+    unet3d.py:16-34)."""
 
     in_channels: int = 32
     out_channels: int = 32
-    num_layers: int = 2
-    num_groups: int = 1
+    kernel_size: int = 3
 
     @nn.compact
-    def __call__(self, volume: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, volume: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = jnp.transpose(volume, (0, 2, 3, 4, 1))
-        for i in range(self.num_layers):
-            x = SingleConv(self.out_channels, self.num_groups, name=f"conv{i}")(x)
+        x = nn.Conv(self.out_channels, (self.kernel_size,) * 3,
+                    padding="SAME", name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="batchnorm")(x)
+        x = nn.relu(x)
         return jnp.transpose(x, (0, 4, 1, 2, 3))

@@ -19,8 +19,7 @@ MODEL_CFG = dict(
         channels=(8, 16, 16, 16, 16, 16, 8, 8),
         layers=(1, 1, 1, 1, 1, 1, 1, 1),
     ),
-    projection=dict(type="SimpleConv3D-v1m1", in_channels=8, out_channels=16,
-                    num_layers=2),
+    projection=dict(type="SimpleConv3D-v1m1", in_channels=8, out_channels=16),
     renderer=dict(
         type="NeuSModel",
         field=dict(hidden_dim=32, num_layers=2, geo_feat_dim=8,
