@@ -326,3 +326,75 @@ class TestS3DISFullPipeline:
         assert v["depth"].shape == (H, W)
         assert v["depth_mask"].dtype == bool
         assert v["semantic_map"].shape == (H, W)
+
+
+class TestNuScenesTransformMath:
+    """Pure-numpy transform helpers vs the devkit conventions the reference
+    relies on (preprocess_nuscenes_info.py:243-277,383-407)."""
+
+    def test_transform_matrix_inverse_roundtrip(self, rng):
+        from ponderv2_tpu.datasets.preprocessing.preprocess_nuscenes import (
+            transform_matrix,
+        )
+
+        q = rng.randn(4)
+        q = q / np.linalg.norm(q)
+        t = rng.randn(3)
+        fwd = transform_matrix(t, q, inverse=False)
+        inv = transform_matrix(t, q, inverse=True)
+        np.testing.assert_allclose(fwd @ inv, np.eye(4), atol=1e-10)
+
+    def test_sensor2lidar_chain(self, rng):
+        """sensor->lidar = ego2lidar @ global2ego @ ego2global @ sensor2ego:
+        a point expressed in the sensor frame, pushed to global through the
+        sensor's ego pose and pulled back through the lidar's, must equal the
+        composed transform."""
+        from ponderv2_tpu.datasets.preprocessing.preprocess_nuscenes import (
+            sensor2top_transform, transform_matrix,
+        )
+
+        def unit_q(v):
+            v = v / np.linalg.norm(v)
+            return v
+
+        cs_q, pose_q = unit_q(rng.randn(4)), unit_q(rng.randn(4))
+        cs_t, pose_t = rng.randn(3), rng.randn(3)
+        lid_q, lidpose_q = unit_q(rng.randn(4)), unit_q(rng.randn(4))
+        lid_t, lidpose_t = rng.randn(3), rng.randn(3)
+        ego2lidar = transform_matrix(lid_t, lid_q, inverse=True)
+        global2ego = transform_matrix(lidpose_t, lidpose_q, inverse=True)
+        _, _, s2l = sensor2top_transform(cs_t, cs_q, pose_t, pose_q,
+                                         ego2lidar, global2ego)
+        p_sensor = np.append(rng.randn(3), 1.0)
+        p_global = (
+            transform_matrix(pose_t, pose_q) @ transform_matrix(cs_t, cs_q)
+            @ p_sensor
+        )
+        p_lidar = ego2lidar @ global2ego @ p_global
+        np.testing.assert_allclose(s2l @ p_sensor, p_lidar, atol=1e-9)
+
+    def test_gt_boxes_filter_and_layout(self, rng):
+        from ponderv2_tpu.datasets.preprocessing.preprocess_nuscenes import (
+            gt_boxes_from_annotations,
+        )
+
+        boxes = [
+            dict(center=[1, 2, 3], wlh=[2.0, 4.0, 1.5], velocity=[0.5, 0, 0],
+                 orientation=[1, 0, 0, 0], name="vehicle.car", token="a"),
+            dict(center=[5, 5, 5], wlh=[1, 1, 1], velocity=[0, 0, 0],
+                 orientation=[np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)],
+                 name="animal", token="b"),
+        ]
+        annos = [dict(num_lidar_pts=10, num_radar_pts=0),
+                 dict(num_lidar_pts=0, num_radar_pts=0)]
+        out = gt_boxes_from_annotations(boxes, annos)
+        assert out["gt_boxes"].shape == (1, 9)  # zero-hit box filtered
+        np.testing.assert_allclose(out["gt_boxes"][0, :3], [1, 2, 3])
+        # wlh -> dx dy dz = (l, w, h)
+        np.testing.assert_allclose(out["gt_boxes"][0, 3:6], [4.0, 2.0, 1.5])
+        assert out["gt_names"][0] == "car"
+        # yaw of the filtered-out box would have been pi/2
+        from ponderv2_tpu.datasets.preprocessing.preprocess_nuscenes import (
+            quaternion_yaw,
+        )
+        assert abs(quaternion_yaw(boxes[1]["orientation"]) - np.pi / 2) < 1e-9
