@@ -136,16 +136,45 @@ def make_sharded_train_step(
 
 
 def replicate_state(state, mesh: Mesh):
-    """Place the train state replicated across the mesh."""
+    """Place the train state replicated across the mesh.
+
+    Multi-process meshes (jax.distributed) place via
+    ``make_array_from_process_local_data`` — every process holds the full
+    value, so the local data IS the global value."""
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(state, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(state, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        state,
+    )
 
 
 def shard_batch(arrays: Dict[str, np.ndarray], mesh: Mesh, axis_name: str = "data"):
-    """Place a (D, ...) batch sharded on its leading axis."""
+    """Place a batch sharded on its leading (device) axis.
+
+    Single-process: arrays are (D_global, ...) and device_put scatters them.
+    Multi-process: each process passes its LOCAL shard (D_local, ...) and the
+    global array is assembled across processes (process order = device order
+    along the mesh axis)."""
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, P(axis_name))
-    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in arrays.items()}
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in arrays.items()
+        }
+    n_global = mesh.devices.size
+    out = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        global_shape = (n_global,) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, global_shape
+        )
+    return out
