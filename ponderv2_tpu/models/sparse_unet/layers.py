@@ -7,6 +7,8 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.band_conv import band_eligible, band_subm_conv, build_band_plan
+from ...ops.band_conv import BLOCK as BAND_BLOCK, WINDOW as BAND_WINDOW
 from ...ops.sparse import SparseTensor, make_sparse_tensor
 from ...ops.spconv import (
     StridedPlan,
@@ -81,13 +83,28 @@ class SubMConv(nn.Module):
                 dtype_token,
             )
         else:
-            legacy = (
-                rulebook.legacy if isinstance(rulebook, SubmPlan) else rulebook
-            )
-            # gather-only backward via the mirrored rulebook (subm symmetry)
-            out = subm_conv_symmetric(
-                st.features, legacy, w, st.mask, dtype_token
-            )
+            # SubmPlan and BandedRulebook both expose .legacy/.band
+            legacy = getattr(rulebook, "legacy", rulebook)
+            if legacy is not None and band_eligible(
+                cin, self.out_channels, self.kernel_size
+            ):
+                # block-banded Pallas kernel: windows of contiguous rows DMA'd
+                # per (block, tap-column), one-hot extraction on the MXU —
+                # replaces the descriptor-bound 27N row gather for wide convs
+                # (ops/band_conv.py). Levels attach a shared plan
+                # (attach_band_plan); building inline is the fallback.
+                plan = getattr(rulebook, "band", None)
+                if plan is None:
+                    plan = build_band_plan(legacy, 3)
+                out = band_subm_conv(
+                    (3, BAND_BLOCK, BAND_WINDOW), st.features, plan.rbt,
+                    plan.w0, plan.ok, w, st.mask, dtype_token,
+                )
+            else:
+                # gather-only backward via the mirrored rulebook (subm symmetry)
+                out = subm_conv_symmetric(
+                    st.features, legacy, w, st.mask, dtype_token
+                )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(st.mask[:, None], out + b, 0.0)

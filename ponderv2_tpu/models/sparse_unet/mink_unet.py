@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
     build_strided_plan,
+    BandedRulebook,
+    attach_band_rulebook,
     build_subm_rulebook,
     invert_strided_rulebook,
 )
@@ -119,6 +121,9 @@ class MinkUNetBase(nn.Module):
             h = nn.relu(bn(ch, name=f"down{s}_bn")(x.features, x.mask, train))
             x = x.replace(features=h)
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            if ch > 64:
+                # wide blocks take the band conv; one shared plan per level
+                rb = attach_band_rulebook(rb)
             rbs[s + 1] = rb
             x = self._blocks(x, rb, train, ch, self.layers[s], block_cls,
                              f"enc{s}", first_standalone=False)
@@ -140,6 +145,9 @@ class MinkUNetBase(nn.Module):
             rb = rbs[level]
             if rb is None:
                 rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+                rbs[level] = rb
+            if ch > 64 and not isinstance(rb, BandedRulebook):
+                rb = attach_band_rulebook(rb)
                 rbs[level] = rb
             x = self._blocks(x, rb, train, ch, self.layers[num_stages + s],
                              block_cls, f"dec{s}", first_standalone=True)

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
+    SubmPlan,
+    attach_band_plan,
     build_strided_plan,
     build_subm_plan,
     build_subm_rulebook,
@@ -228,6 +230,9 @@ class SpUNet(nn.Module):
                      out_spatial_shape=plan.spatial_shape,
                      name=f"down{s}")(x, (plan.out_coords, plan.rulebook), train)
             rb = self._build_subm(x.coords, x.spatial_shape, x.batch_size, 3)
+            if self.channels[s] > 64 and isinstance(rb, SubmPlan):
+                # wide blocks take the band path; share one plan per level
+                rb = attach_band_plan(rb)
             subm_rulebooks[s + 1] = rb
             if self.scan_blocks:
                 x = BlockStack(self.channels[s], self.layers[s], self.bn_eps,
@@ -268,8 +273,6 @@ class SpUNet(nn.Module):
                 # level-0 k3 rulebook = the k5 stem rulebook's inner 3x3x3
                 # taps (same coords, same table; k5 pad 2 + offset d equals
                 # k3 pad 1 + offset d-1) — a static row-select, no lookups
-                from ...ops.spconv import SubmPlan
-
                 if isinstance(rb_stem, SubmPlan):
                     rb = derive_inner_subm_plan(rb_stem, 5)
                 else:
@@ -280,6 +283,10 @@ class SpUNet(nn.Module):
                         for dz in (1, 2, 3)
                     ]
                     rb = rb_stem[jnp.asarray(inner)]
+                subm_rulebooks[level] = rb
+            if (dec_channels > 64 and isinstance(rb, SubmPlan)
+                    and rb.band is None):
+                rb = attach_band_plan(rb)
                 subm_rulebooks[level] = rb
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:

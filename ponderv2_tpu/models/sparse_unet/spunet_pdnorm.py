@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
+    BandedRulebook,
+    attach_band_rulebook,
     build_strided_plan,
     build_subm_rulebook,
     invert_strided_rulebook,
@@ -213,6 +215,10 @@ class SpUNetPDNorm(nn.Module):
             )
             x = x.replace(features=nn.relu(h))
             rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+            if self.channels[s] > 64:
+                # wide blocks take the band conv; share one plan per level
+                # (an inline build would re-run per scanned block)
+                rb = attach_band_rulebook(rb)
             subm_rulebooks[s + 1] = rb
             if self.scan_blocks:
                 x = stack(channels=self.channels[s], num_blocks=self.layers[s],
@@ -252,6 +258,9 @@ class SpUNetPDNorm(nn.Module):
             rb = subm_rulebooks[level]
             if rb is None:
                 rb = build_subm_rulebook(x.coords, x.spatial_shape, x.batch_size, 3)
+                subm_rulebooks[level] = rb
+            if dec_channels > 64 and not isinstance(rb, BandedRulebook):
+                rb = attach_band_rulebook(rb)
                 subm_rulebooks[level] = rb
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:

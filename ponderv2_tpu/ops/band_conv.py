@@ -1,0 +1,323 @@
+"""Block-banded windowed submanifold conv: Pallas TPU kernels.
+
+Why this exists (the wide-conv gap): sparse-conv tap application is
+descriptor-bound on TPU — an XLA row gather costs ~7 ns per row descriptor
+regardless of row width, and the rate *degrades* with operand size, so a
+k3 conv at 96+ channels over ~200k rows pays 27N descriptors against a
+40+ MB operand (~38 ms/conv measured on v5e at bench shapes). The slab
+path (ops/spconv.py) cuts descriptors 3x for narrow channels but its
+doubled-pack rows exceed the descriptor-rate sweet spot above ~64
+channels.
+
+The banded structure: voxel rows are sorted by ravel key, and a tap's
+query key is the row key plus a constant offset — so over a block of
+``BLOCK`` consecutive output rows, each tap-column's input rows fall in
+ONE narrow contiguous window (block-banded gather matrix). The kernel
+DMAs one ``(WINDOW, C)`` slab per (block, tap-column) straight from HBM,
+builds the tap one-hot *in VMEM* (it never touches HBM — materialized it
+would be GBs), and applies extraction + conv as two MXU matmuls:
+
+    aligned = onehot(pos) @ window          # (BLOCK, WINDOW) @ (WINDOW, C)
+    out    += aligned @ W[tap]              # (BLOCK, C) @ (C, Cout)
+
+Per conv this replaces 27N descriptors with ncols·(N/BLOCK) window DMAs
+(sequential reads at HBM bandwidth) plus ~0.5 TFLOP of dense MXU work —
+a >4x win for wide convs at bench shapes.
+
+Backward reuses the submanifold tap bijection (tap t on outputs == mirror
+tap on inputs): ONE windowed extraction of the cotangent per tap serves
+both dx (times mirrored-transposed weights) and dW (TN-matmul against the
+feature block), exactly like the slab backward (ops/spconv.py:441).
+
+Exactness: window placement is min/max over the block's rulebook entries
+(no distributional assumption); if any block's span exceeds WINDOW the
+whole conv output is gated to zero (``plan.ok``) — a loud failure, never
+silently wrong taps. Inactive taps encode position -1 and select nothing.
+
+Mosaic constraints honored (found the hard way in ops/pallas_gather.py,
+same remote-compile toolchain): no 1-D int32 blocks, no in-kernel
+reshapes/transposes, block dims tile to (8k, 128k) or equal the array
+dims, f32 matmul accumulators, no matmul free dim of 1; lane dims padded
+to 128 in the wrapper.
+
+Replaces (with ops/spconv.py) the CUDA gather-scatter conv used by
+/root/reference/ponder/models/sparse_unet/spconv_unet_v1m1_base.py:47-225.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = int(os.environ.get("PONDER_BAND_BLOCK", "256"))
+WINDOW = int(os.environ.get("PONDER_BAND_WINDOW", "384"))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad128(c: int) -> int:
+    return _cdiv(c, 128) * 128
+
+
+class BandPlan(NamedTuple):
+    """Banded rulebook: absolute tap rows + per-(column, block) windows.
+
+    - ``rbt``: (Npad, K^3) int32 — input row feeding output i via tap t
+      (tap index t = column * kz + dz), -1 = inactive. The transpose of the
+      legacy (K^3, N) rulebook, padded with -1 rows.
+    - ``w0``: (ncols, nblocks) int32 — 8-aligned window start per
+      (tap-column, output block); every active entry of the block lies in
+      ``[w0, w0 + WINDOW)`` when ``ok``.
+    - ``ok``: () bool — all spans fit the static window; gates the conv
+      output to zero otherwise (loud, never silently wrong).
+    """
+
+    rbt: jnp.ndarray
+    w0: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def build_band_plan(
+    rulebook: jnp.ndarray,
+    kz: int,
+    block: int = None,
+    window: int = None,
+) -> BandPlan:
+    """Derive the banded plan from a (K^3, N) subm rulebook (-1 = absent)."""
+    block = block or BLOCK
+    window = window or WINDOW
+    k3, n = rulebook.shape
+    ncols = k3 // kz
+    npad = _cdiv(max(n, window), block) * block
+    nblocks = npad // block
+    # windows from the NATURAL (K^3, N) layout (contiguous reads; doing this
+    # on the transposed view costs a second 27N relayout pass)
+    rpad = jnp.pad(rulebook, ((0, 0), (0, npad - n)), constant_values=-1)
+    rcol = rpad.reshape(ncols, kz, nblocks, block)
+    valid = rcol >= 0
+    big = jnp.iinfo(jnp.int32).max
+    lo = jnp.min(jnp.where(valid, rcol, big), axis=(1, 3))  # (ncols, nb)
+    hi = jnp.max(jnp.where(valid, rcol, -1), axis=(1, 3))
+    lo = jnp.where(lo == big, 0, lo)
+    w0 = jnp.clip(lo & ~7, 0, npad - window)
+    ok = jnp.all(hi - w0 < window)
+    rbt = rpad.T  # (npad, K^3), the kernel's per-block tap rows
+    return BandPlan(rbt, w0, ok)
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _fwd_kernel(ncols, kz, win, cp, cop, w0_ref, rbt_ref, fp_ref, wts_ref,
+                out_ref, wins, sems):
+    b = pl.program_id(0)
+
+    def window_at(c):
+        # w0 is built 8-aligned (lo & ~7) but Mosaic's affine analysis
+        # cannot see that through the scalar ref — assert it explicitly
+        return fp_ref.at[pl.ds(pl.multiple_of(w0_ref[c, b], 8), win), :]
+
+    for c in range(ncols):
+        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).start()
+    block = out_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, win), 1)
+    acc = jnp.zeros((block, cop), jnp.float32)
+    for c in range(ncols):
+        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).wait()
+        base = w0_ref[c, b]
+        for dz in range(kz):
+            t = c * kz + dz
+            pos = rbt_ref[:, t : t + 1] - base  # (block, 1); inactive < 0
+            oh = (iota == pos).astype(wins.dtype)
+            al = jnp.dot(oh, wins[c], preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(
+                al.astype(wins.dtype),
+                wts_ref[t * cp : (t + 1) * cp, :],
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc
+
+
+def _bwd_kernel(ncols, kz, win, cp, cop, w0_ref, rbt_ref, gp_ref, wtsT_ref,
+                f_ref, dx_ref, dwr_ref, wins, sems):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+
+    def window_at(c):
+        return gp_ref.at[pl.ds(pl.multiple_of(w0_ref[c, b], 8), win), :]
+
+    for c in range(ncols):
+        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).start()
+    block = dx_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, win), 1)
+    fblk = f_ref[:]
+    acc = jnp.zeros((block, cp), jnp.float32)
+    for c in range(ncols):
+        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).wait()
+        base = w0_ref[c, b]
+        for dz in range(kz):
+            t = c * kz + dz
+            pos = rbt_ref[:, t : t + 1] - base
+            oh = (iota == pos).astype(wins.dtype)
+            al = jnp.dot(oh, wins[c], preferred_element_type=jnp.float32)
+            alc = al.astype(wins.dtype)
+            # dx += aligned_g @ W[mirror t]^T (prepared transposed outside)
+            acc = acc + jnp.dot(
+                alc,
+                wtsT_ref[t * cop : (t + 1) * cop, :],
+                preferred_element_type=jnp.float32,
+            )
+            # dW[mirror t] += f^T @ aligned_g (TN contraction over rows)
+            dwr_ref[t * cp : (t + 1) * cp, :] += jax.lax.dot_general(
+                fblk,
+                alc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dx_ref[:] = acc
+
+
+# ------------------------------------------------------------------ wrappers
+
+
+def _fwd_impl(features, rbt, w0, ok, weights, out_mask, compute_dtype,
+              kz, block, window):
+    n, cin = features.shape
+    k3, _, cout = weights.shape
+    ncols = k3 // kz
+    npad = rbt.shape[0]
+    nblocks = npad // block
+    cp, cop = _pad128(cin), _pad128(cout)
+    fp = jnp.pad(
+        features.astype(compute_dtype), ((0, npad - n), (0, cp - cin))
+    )
+    wts = jnp.pad(
+        weights.astype(compute_dtype), ((0, 0), (0, cp - cin), (0, cop - cout))
+    ).reshape(k3 * cp, cop)
+    kern = functools.partial(_fwd_kernel, ncols, kz, window, cp, cop)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((block, k3), lambda b, w0s: (b, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block, cop), lambda b, w0s: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((ncols, window, cp), compute_dtype),
+                pltpu.SemaphoreType.DMA((ncols,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, cop), jnp.float32),
+        interpret=_interpret(),
+    )(w0, rbt, fp, wts)
+    gate = ok.astype(jnp.float32)
+    out = out[:n, :cout] * gate
+    return jnp.where(out_mask[:, None], out, 0.0).astype(features.dtype)
+
+
+def _bwd_impl(features, g, rbt, w0, ok, weights, compute_dtype,
+              kz, block, window):
+    n, cin = features.shape
+    k3, _, cout = weights.shape
+    ncols = k3 // kz
+    npad = rbt.shape[0]
+    nblocks = npad // block
+    cp, cop = _pad128(cin), _pad128(cout)
+    fp = jnp.pad(
+        features.astype(compute_dtype), ((0, npad - n), (0, cp - cin))
+    )
+    gp = jnp.pad(g.astype(compute_dtype), ((0, npad - n), (0, cop - cout)))
+    # tap t of the cotangent gather pairs with weight tap mirror(t) = k3-1-t
+    wtsT = jnp.pad(
+        weights[::-1].transpose(0, 2, 1).astype(compute_dtype),
+        ((0, 0), (0, cop - cout), (0, cp - cin)),
+    ).reshape(k3 * cop, cp)
+    kern = functools.partial(_bwd_kernel, ncols, kz, window, cp, cop)
+    dx, dwr = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((block, k3), lambda b, w0s: (b, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cp), lambda b, w0s: (b, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block, cp), lambda b, w0s: (b, 0)),
+                pl.BlockSpec((k3 * cp, cop), lambda b, w0s: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((ncols, window, cop), compute_dtype),
+                pltpu.SemaphoreType.DMA((ncols,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k3 * cp, cop), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(w0, rbt, gp, wtsT, fp)
+    gate = ok.astype(jnp.float32)
+    dx = dx[:n, :cin] * gate
+    # kernel's dwr slice t holds dW[mirror(t)]
+    dw = dwr.reshape(k3, cp, cop)[::-1, :cin, :cout] * gate
+    return dx.astype(features.dtype), dw.astype(weights.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def band_subm_conv(cfg, features, rbt, w0, ok, weights, out_mask,
+                   dtype_token):
+    """Banded windowed submanifold conv. ``cfg`` = (kz, block, window)
+    static. See module docstring; same contract as ops.spconv's subm convs
+    (rows key-sorted; violations surface as plan.ok gating to zero)."""
+    kz, block, window = cfg
+    return _fwd_impl(features, rbt, w0, ok, weights, out_mask,
+                     dtype_token.dtype, kz, block, window)
+
+
+def _band_fwd(cfg, features, rbt, w0, ok, weights, out_mask, dtype_token):
+    out = band_subm_conv(cfg, features, rbt, w0, ok, weights, out_mask,
+                         dtype_token)
+    return out, (features, rbt, w0, ok, weights, out_mask, dtype_token)
+
+
+def _band_bwd(cfg, res, g):
+    features, rbt, w0, ok, weights, out_mask, dtype_token = res
+    kz, block, window = cfg
+    g = jnp.where(out_mask[:, None], g, 0.0)
+    dx, dw = _bwd_impl(features, g, rbt, w0, ok, weights,
+                       dtype_token.dtype, kz, block, window)
+    return dx, None, None, None, dw, None, None
+
+
+band_subm_conv.defvjp(_band_fwd, _band_bwd)
+
+
+def band_eligible(cin: int, cout: int, kernel_size) -> bool:
+    """Band path targets the wide convs the slab path can't help
+    (doubled-pack rows exceed the descriptor sweet spot above ~64 ch)."""
+    if os.environ.get("PONDER_BAND_CONV", "1") != "1":
+        return False
+    k = kernel_size if isinstance(kernel_size, int) else max(kernel_size)
+    return k == 3 and cin > 64

@@ -223,12 +223,17 @@ class SubmPlan(NamedTuple):
       r0/selp arithmetically; otherwise rebuilt via per-tap table lookups).
     - ``sorted_ok``: () bool — rows passed the rank==row self-check; gates
       the slab fast path at apply time.
+    - ``band``: optional ops.band_conv.BandPlan, attached ONCE per level via
+      :func:`attach_band_plan` so every wide conv on the level shares it
+      (the build costs a 27N relayout — per-conv rebuilds would eat the
+      kernel's win).
     """
 
     r0: jnp.ndarray
     selp: jnp.ndarray
     legacy: jnp.ndarray
     sorted_ok: jnp.ndarray
+    band: Optional[tuple] = None
 
 
 def slab_pack(kz: int, cin: int) -> int:
@@ -374,6 +379,35 @@ def derive_inner_subm_plan(plan: SubmPlan, outer_kernel: int = 5) -> SubmPlan:
                 )
         legacy = jnp.stack(rows, axis=0)
     return SubmPlan(r0, selp, legacy, plan.sorted_ok)
+
+
+def attach_band_plan(plan: SubmPlan) -> SubmPlan:
+    """Attach the block-banded plan (ops.band_conv) for this level's wide
+    (cin > 64) k3 convs. One build serves every conv on the level."""
+    from .band_conv import build_band_plan
+
+    if plan.legacy is None:
+        return plan
+    return plan._replace(band=build_band_plan(plan.legacy, 3))
+
+
+class BandedRulebook(NamedTuple):
+    """A plain (K^3, N) legacy rulebook with the banded plan pre-attached.
+
+    For models that carry raw rulebooks (SpUNet-v1m3/PDNorm, MinkUNet)
+    rather than slab ``SubmPlan``s: attaching once per level and passing the
+    carrier into the block stack keeps the 27N band-plan relayout out of the
+    nn.scan body (inline rebuilds run once per scanned block)."""
+
+    legacy: jnp.ndarray
+    band: Optional[tuple] = None
+
+
+def attach_band_rulebook(legacy: jnp.ndarray) -> "BandedRulebook":
+    """Wrap a (K^3, N) subm rulebook with its banded plan (k3 only)."""
+    from .band_conv import build_band_plan
+
+    return BandedRulebook(legacy, build_band_plan(legacy, 3))
 
 
 def _doubled_pack(features: jnp.ndarray, pack: int, dtype) -> jnp.ndarray:

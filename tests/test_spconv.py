@@ -525,3 +525,82 @@ class TestBitmapTable:
         derived = derive_inner_subm_plan(plan5, 5)
         np.testing.assert_array_equal(np.asarray(derived.legacy),
                                       np.asarray(plan3.legacy))
+
+
+class TestBandConv:
+    """Block-banded Pallas subm conv (ops.band_conv) vs the plain path.
+
+    Runs in Pallas interpret mode on CPU; the same kernels compile for TPU
+    (Mosaic constraints documented in the module)."""
+
+    def _scene(self, rng, kernel=3, shape=(10, 10, 10), batch=2, cin=5,
+               cout=7, n=60):
+        coords, feats = make_scene(rng, n, shape, batch, cin)
+        rb = build_subm_rulebook(jnp.asarray(coords), shape, batch, kernel)
+        weights = jnp.asarray(
+            rng.randn(kernel**3, cin, cout).astype(np.float32) * 0.2
+        )
+        st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                                shape, batch)
+        return st, rb, weights
+
+    @pytest.mark.parametrize("cin,cout", [(5, 7), (40, 24)])
+    def test_matches_plain(self, rng, cin, cout):
+        from ponderv2_tpu.ops.band_conv import band_subm_conv, build_band_plan
+
+        kernel = 3
+        st, rb, weights = self._scene(rng, kernel, cin=cin, cout=cout)
+        ref = subm_conv(st, weights, rulebook=rb, kernel_size=kernel).features
+        block, window = 8, 32
+        plan = build_band_plan(rb, kernel, block=block, window=window)
+        assert bool(plan.ok)
+        token = jnp.zeros((0,), jnp.float32)
+        out = band_subm_conv((kernel, block, window), st.features, plan.rbt,
+                             plan.w0, plan.ok, weights, st.mask, token)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_plain_autodiff(self, rng):
+        import jax
+
+        from ponderv2_tpu.ops.band_conv import band_subm_conv, build_band_plan
+        from ponderv2_tpu.ops.spconv import apply_sparse_conv
+
+        kernel, cin, cout = 3, 5, 3
+        st, rb, weights = self._scene(rng, kernel, cin=cin, cout=cout, n=40,
+                                      shape=(8, 8, 8))
+        block, window = 8, 32
+        plan = build_band_plan(rb, kernel, block=block, window=window)
+        assert bool(plan.ok)
+        token = jnp.zeros((0,), jnp.float32)
+
+        def loss_band(f, w):
+            out = band_subm_conv((kernel, block, window), f, plan.rbt,
+                                 plan.w0, plan.ok, w, st.mask, token)
+            return jnp.sum(out * out)
+
+        def loss_plain(f, w):
+            out = apply_sparse_conv(f, rb, w, st.mask)
+            return jnp.sum(out * out)
+
+        gf_b, gw_b = jax.grad(loss_band, argnums=(0, 1))(st.features, weights)
+        gf_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(st.features, weights)
+        np.testing.assert_allclose(np.asarray(gf_b), np.asarray(gf_p),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_window_overflow_gates_to_zero(self, rng):
+        """A window too small for some block's span must zero the output
+        (loud failure contract), never produce silently wrong taps."""
+        from ponderv2_tpu.ops.band_conv import band_subm_conv, build_band_plan
+
+        kernel = 3
+        st, rb, weights = self._scene(rng, kernel, n=200, shape=(12, 12, 12))
+        block, window = 32, 8  # span of 32 rows cannot fit an 8-row window
+        plan = build_band_plan(rb, kernel, block=block, window=window)
+        assert not bool(plan.ok)
+        token = jnp.zeros((0,), jnp.float32)
+        out = band_subm_conv((kernel, block, window), st.features, plan.rbt,
+                             plan.w0, plan.ok, weights, st.mask, token)
+        assert float(jnp.abs(out).sum()) == 0.0

@@ -67,31 +67,50 @@ def main():
         loss = out["loss"] if isinstance(out, dict) else out
         return jnp.asarray(loss, jnp.float32)
 
-    c_fwd = jax.jit(loss_fwd).lower(variables["params"], arrays).compile()
-    print("model fwd       %7.1f ms"
-          % timeit(lambda p, a: c_fwd(p, a), variables["params"], arrays))
+    what = os.environ.get("PROBE_WHAT", "step")
 
-    c_grad = jax.jit(jax.grad(loss_fwd)).lower(
-        variables["params"], arrays).compile()
-    print("model fwd+grad  %7.1f ms"
-          % timeit(lambda p, a: c_grad(p, a), variables["params"], arrays))
+    def timeit_scalar(c, *args, iters=6):
+        # value-fetch a scalar each call (tunnel: block_until_ready lies)
+        out = c(*args)
+        float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = c(*args)
+        float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+        return (time.perf_counter() - t0) / iters * 1e3
 
-    step_j = make_train_step(model, tx, schedule, static_ctx)
-    c_step = step_j.lower(state, arrays).compile()
+    if what == "fwd":
+        c = jax.jit(loss_fwd).lower(variables["params"], arrays).compile()
+        print("model fwd       %7.1f ms"
+              % timeit_scalar(c, variables["params"], arrays))
+    elif what == "grad":
+        c = jax.jit(jax.grad(loss_fwd)).lower(
+            variables["params"], arrays).compile()
+        print("model fwd+grad  %7.1f ms"
+              % timeit_scalar(c, variables["params"], arrays))
+    else:
+        step_j = make_train_step(model, tx, schedule, static_ctx)
+        c_step = step_j.lower(state, arrays).compile()
 
-    def run_step(s, a):
-        s2, m = c_step(s, a)
-        return m["loss"]
+        # the step donates state buffers: THREAD the state through calls
+        # (re-calling with the original donated state is INVALID_ARGUMENT)
+        state, m = c_step(state, arrays)
+        float(m["loss"])
+        iters = 6
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = c_step(state, arrays)
+        float(m["loss"])
+        print("train step      %7.1f ms"
+              % ((time.perf_counter() - t0) / iters * 1e3))
 
-    print("train step      %7.1f ms" % timeit(run_step, state, arrays))
-
-    trace_dir = os.environ.get("PROBE_TRACE")
-    if trace_dir:
-        with jax.profiler.trace(trace_dir):
-            for _ in range(2):
-                s2, m = c_step(state, arrays)
-            jax.block_until_ready(m["loss"])
-        print("trace written to", trace_dir)
+        trace_dir = os.environ.get("PROBE_TRACE")
+        if trace_dir:
+            with jax.profiler.trace(trace_dir):
+                for _ in range(2):
+                    state, m = c_step(state, arrays)
+                float(m["loss"])
+            print("trace written to", trace_dir)
 
 
 if __name__ == "__main__":
