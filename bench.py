@@ -165,8 +165,19 @@ def main():
     train_step = make_train_step(model, tx, schedule, static_ctx)
 
     # AOT-compile ONCE (a second jit compile of the step costs minutes
-    # through the remote tunnel and skews timing).
-    compiled = train_step.lower(state, arrays).compile()
+    # through the remote tunnel and skews timing). The band-conv backward
+    # kernel's VMEM stack (dW accumulator + resident windows) exceeds the
+    # default 16 MiB scoped-vmem budget at bs>=4; raise it per-compile
+    # (DebugOptions proto flags forward through remote-compile tunnels,
+    # unlike LIBTPU_INIT_ARGS/XLA_FLAGS env which the terminal overrides).
+    lowered = train_step.lower(state, arrays)
+    try:
+        compiled = lowered.compile(
+            {"xla_tpu_scoped_vmem_limit_kib": os.environ.get(
+                "BENCH_SCOPED_VMEM_KIB", "32768")}
+        )
+    except Exception:
+        compiled = lowered.compile()
 
     # warmup. NOTE: force a device->host VALUE fetch, not just
     # block_until_ready — through remote-TPU tunnels the latter can return

@@ -97,8 +97,8 @@ class SubMConv(nn.Module):
                 if plan is None:
                     plan = build_band_plan(legacy, 3)
                 out = band_subm_conv(
-                    (3, BAND_BLOCK, BAND_WINDOW), st.features, plan.rbt,
-                    plan.w0, plan.ok, w, st.mask, dtype_token,
+                    (3, BAND_BLOCK, BAND_WINDOW), st.features, plan, w,
+                    st.mask, dtype_token,
                 )
             else:
                 # gather-only backward via the mirrored rulebook (subm symmetry)

@@ -77,6 +77,11 @@ class BandPlan(NamedTuple):
     - ``rbt``: (Npad, K^3) int32 — input row feeding output i via tap t
       (tap index t = column * kz + dz), -1 = inactive. The transpose of the
       legacy (K^3, N) rulebook, padded with -1 rows.
+    - ``rbt3``: (ncols, Npad, kz) int32 — the same table laid out per
+      tap-column, for the dW kernel whose grid iterates columns: the
+      column block is selected by the BlockSpec index map, keeping the
+      in-kernel tap slice static (Mosaic cannot dynamically index the
+      lane dim of an int32 block).
     - ``w0``: (ncols, nblocks) int32 — 8-aligned window start per
       (tap-column, output block); every active entry of the block lies in
       ``[w0, w0 + WINDOW)`` when ``ok``.
@@ -85,6 +90,7 @@ class BandPlan(NamedTuple):
     """
 
     rbt: jnp.ndarray
+    rbt3: jnp.ndarray
     w0: jnp.ndarray
     ok: jnp.ndarray
 
@@ -113,8 +119,9 @@ def build_band_plan(
     lo = jnp.where(lo == big, 0, lo)
     w0 = jnp.clip(lo & ~7, 0, npad - window)
     ok = jnp.all(hi - w0 < window)
-    rbt = rpad.T  # (npad, K^3), the kernel's per-block tap rows
-    return BandPlan(rbt, w0, ok)
+    rbt = rpad.T  # (npad, K^3), the fwd/dx kernels' per-block tap rows
+    rbt3 = rpad.reshape(ncols, kz, npad).transpose(0, 2, 1)
+    return BandPlan(rbt, rbt3, w0, ok)
 
 
 # ------------------------------------------------------------------ kernels
@@ -150,67 +157,75 @@ def _fwd_kernel(ncols, kz, win, cp, cop, w0_ref, rbt_ref, fp_ref, wts_ref,
     out_ref[:] = acc
 
 
-def _bwd_kernel(ncols, kz, win, cp, cop, w0_ref, rbt_ref, gp_ref, wtsT_ref,
-                f_ref, dx_ref, dwr_ref, wins, sems):
-    b = pl.program_id(0)
+def _dw_kernel(ncols, kz, win, cp, cop, nblocks, w0_ref, rbt3_ref, gp_ref,
+               f_ref, dwr_ref, wins, sems):
+    """dW for ONE tap-column per output block: grid (ncols, nblocks),
+    blocks innermost so the (kz*cp, cop) accumulator block is revisited
+    consecutively. Splitting dW out of the dx kernel keeps the resident
+    accumulator at kz*cp rows instead of K^3*cp — the combined kernel's
+    VMEM stack (10+ MB dW block + windows + weights) blew the 16 MiB
+    scoped-vmem budget at wide shapes (cin 384+). Windows are 2-deep
+    double-buffered across grid steps. ``rbt3_ref`` is the (block, kz)
+    slice of this step's tap-column (selected by the index map, so the
+    in-kernel tap slice stays static for Mosaic)."""
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+
+    def window_copy(ci, bi, slot):
+        return pltpu.make_async_copy(
+            gp_ref.at[pl.ds(pl.multiple_of(w0_ref[ci, bi], 8), win), :],
+            wins.at[slot],
+            sems.at[slot],
+        )
+
+    step = c * nblocks + b
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        window_copy(c, b, slot).start()
+
+    @pl.when(step < ncols * nblocks - 1)
+    def _():
+        nc = jnp.where(b == nblocks - 1, c + 1, c)
+        nb = jnp.where(b == nblocks - 1, 0, b + 1)
+        window_copy(nc, nb, 1 - slot).start()
 
     @pl.when(b == 0)
     def _():
         dwr_ref[:] = jnp.zeros_like(dwr_ref)
 
-    def window_at(c):
-        return gp_ref.at[pl.ds(pl.multiple_of(w0_ref[c, b], 8), win), :]
-
-    for c in range(ncols):
-        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).start()
-    block = dx_ref.shape[0]
+    window_copy(c, b, slot).wait()
+    block = f_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, win), 1)
     fblk = f_ref[:]
-    acc = jnp.zeros((block, cp), jnp.float32)
-    for c in range(ncols):
-        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).wait()
-        base = w0_ref[c, b]
-        for dz in range(kz):
-            t = c * kz + dz
-            pos = rbt_ref[:, t : t + 1] - base
-            oh = (iota == pos).astype(wins.dtype)
-            al = jnp.dot(oh, wins[c], preferred_element_type=jnp.float32)
-            alc = al.astype(wins.dtype)
-            # dx += aligned_g @ W[mirror t]^T (prepared transposed outside)
-            acc = acc + jnp.dot(
-                alc,
-                wtsT_ref[t * cop : (t + 1) * cop, :],
-                preferred_element_type=jnp.float32,
-            )
-            # dW[mirror t] += f^T @ aligned_g (TN contraction over rows)
-            dwr_ref[t * cp : (t + 1) * cp, :] += jax.lax.dot_general(
-                fblk,
-                alc,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    dx_ref[:] = acc
+    base = w0_ref[c, b]
+    for dz in range(kz):
+        pos = rbt3_ref[:, dz : dz + 1] - base
+        oh = (iota == pos).astype(wins.dtype)
+        al = jnp.dot(oh, wins[slot], preferred_element_type=jnp.float32)
+        # dW[mirror t] += f^T @ aligned_g (TN contraction over rows)
+        dwr_ref[dz * cp : (dz + 1) * cp, :] += jax.lax.dot_general(
+            fblk,
+            al.astype(wins.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 # ------------------------------------------------------------------ wrappers
 
 
-def _fwd_impl(features, rbt, w0, ok, weights, out_mask, compute_dtype,
-              kz, block, window):
-    n, cin = features.shape
-    k3, _, cout = weights.shape
-    ncols = k3 // kz
+def _fwd_core(fp, rbt, w0, wts, compute_dtype, kz, block, window, cp, cop):
+    """Padded-in, padded-out band conv: (npad, cp) x (K^3*cp, cop) ->
+    (npad, cop) f32. Serves the forward AND dx (with mirrored-transposed
+    weights — the subm tap bijection makes dx the same banded product)."""
     npad = rbt.shape[0]
+    k3 = rbt.shape[1]
+    ncols = k3 // kz
     nblocks = npad // block
-    cp, cop = _pad128(cin), _pad128(cout)
-    fp = jnp.pad(
-        features.astype(compute_dtype), ((0, npad - n), (0, cp - cin))
-    )
-    wts = jnp.pad(
-        weights.astype(compute_dtype), ((0, 0), (0, cp - cin), (0, cop - cout))
-    ).reshape(k3 * cp, cop)
     kern = functools.partial(_fwd_kernel, ncols, kz, window, cp, cop)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -229,13 +244,29 @@ def _fwd_impl(features, rbt, w0, ok, weights, out_mask, compute_dtype,
         out_shape=jax.ShapeDtypeStruct((npad, cop), jnp.float32),
         interpret=_interpret(),
     )(w0, rbt, fp, wts)
+
+
+def _fwd_impl(features, rbt, w0, ok, weights, out_mask, compute_dtype,
+              kz, block, window):
+    n, cin = features.shape
+    k3, _, cout = weights.shape
+    npad = rbt.shape[0]
+    cp, cop = _pad128(cin), _pad128(cout)
+    fp = jnp.pad(
+        features.astype(compute_dtype), ((0, npad - n), (0, cp - cin))
+    )
+    wts = jnp.pad(
+        weights.astype(compute_dtype), ((0, 0), (0, cp - cin), (0, cop - cout))
+    ).reshape(k3 * cp, cop)
+    out = _fwd_core(fp, rbt, w0, wts, compute_dtype, kz, block, window,
+                    cp, cop)
     gate = ok.astype(jnp.float32)
     out = out[:n, :cout] * gate
     return jnp.where(out_mask[:, None], out, 0.0).astype(features.dtype)
 
 
-def _bwd_impl(features, g, rbt, w0, ok, weights, compute_dtype,
-              kz, block, window):
+def _bwd_impl(features, g, plan, weights, compute_dtype, kz, block, window):
+    rbt, rbt3, w0, ok = plan
     n, cin = features.shape
     k3, _, cout = weights.shape
     ncols = k3 // kz
@@ -246,69 +277,67 @@ def _bwd_impl(features, g, rbt, w0, ok, weights, compute_dtype,
         features.astype(compute_dtype), ((0, npad - n), (0, cp - cin))
     )
     gp = jnp.pad(g.astype(compute_dtype), ((0, npad - n), (0, cop - cout)))
-    # tap t of the cotangent gather pairs with weight tap mirror(t) = k3-1-t
+    gate = ok.astype(jnp.float32)
+
+    # dx: tap t of the cotangent extraction pairs with weight tap
+    # mirror(t) = k3-1-t (subm symmetry) — the same banded product as the
+    # forward, with mirrored-transposed weights
     wtsT = jnp.pad(
         weights[::-1].transpose(0, 2, 1).astype(compute_dtype),
         ((0, 0), (0, cop - cout), (0, cp - cin)),
     ).reshape(k3 * cop, cp)
-    kern = functools.partial(_bwd_kernel, ncols, kz, window, cp, cop)
-    dx, dwr = pl.pallas_call(
+    dx = _fwd_core(gp, rbt, w0, wtsT, compute_dtype, kz, block, window,
+                   cop, cp)
+    dx = dx[:n, :cin] * gate
+
+    kern = functools.partial(_dw_kernel, ncols, kz, window, cp, cop, nblocks)
+    dwr = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nblocks,),
+            grid=(ncols, nblocks),
             in_specs=[
-                pl.BlockSpec((block, k3), lambda b, w0s: (b, 0)),
+                pl.BlockSpec((None, block, kz), lambda c, b, w0s: (c, b, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, cp), lambda b, w0s: (b, 0)),
+                pl.BlockSpec((block, cp), lambda c, b, w0s: (b, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((block, cp), lambda b, w0s: (b, 0)),
-                pl.BlockSpec((k3 * cp, cop), lambda b, w0s: (0, 0)),
-            ],
+            out_specs=pl.BlockSpec((kz * cp, cop), lambda c, b, w0s: (c, 0)),
             scratch_shapes=[
-                pltpu.VMEM((ncols, window, cop), compute_dtype),
-                pltpu.SemaphoreType.DMA((ncols,)),
+                pltpu.VMEM((2, window, cop), compute_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((npad, cp), jnp.float32),
-            jax.ShapeDtypeStruct((k3 * cp, cop), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((k3 * cp, cop), jnp.float32),
         interpret=_interpret(),
-    )(w0, rbt, gp, wtsT, fp)
-    gate = ok.astype(jnp.float32)
-    dx = dx[:n, :cin] * gate
-    # kernel's dwr slice t holds dW[mirror(t)]
+    )(w0, rbt3, gp, fp)
+    # dwr slice t holds dW[mirror(t)]
     dw = dwr.reshape(k3, cp, cop)[::-1, :cin, :cout] * gate
     return dx.astype(features.dtype), dw.astype(weights.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def band_subm_conv(cfg, features, rbt, w0, ok, weights, out_mask,
-                   dtype_token):
+def band_subm_conv(cfg, features, plan, weights, out_mask, dtype_token):
     """Banded windowed submanifold conv. ``cfg`` = (kz, block, window)
-    static. See module docstring; same contract as ops.spconv's subm convs
-    (rows key-sorted; violations surface as plan.ok gating to zero)."""
+    static, ``plan`` a BandPlan. See module docstring; same contract as
+    ops.spconv's subm convs (rows key-sorted; violations surface as
+    plan.ok gating to zero)."""
     kz, block, window = cfg
-    return _fwd_impl(features, rbt, w0, ok, weights, out_mask,
-                     dtype_token.dtype, kz, block, window)
+    return _fwd_impl(features, plan.rbt, plan.w0, plan.ok, weights,
+                     out_mask, dtype_token.dtype, kz, block, window)
 
 
-def _band_fwd(cfg, features, rbt, w0, ok, weights, out_mask, dtype_token):
-    out = band_subm_conv(cfg, features, rbt, w0, ok, weights, out_mask,
-                         dtype_token)
-    return out, (features, rbt, w0, ok, weights, out_mask, dtype_token)
+def _band_fwd(cfg, features, plan, weights, out_mask, dtype_token):
+    out = band_subm_conv(cfg, features, plan, weights, out_mask, dtype_token)
+    return out, (features, plan, weights, out_mask, dtype_token)
 
 
 def _band_bwd(cfg, res, g):
-    features, rbt, w0, ok, weights, out_mask, dtype_token = res
+    features, plan, weights, out_mask, dtype_token = res
     kz, block, window = cfg
     g = jnp.where(out_mask[:, None], g, 0.0)
-    dx, dw = _bwd_impl(features, g, rbt, w0, ok, weights,
+    dx, dw = _bwd_impl(features, g, plan, weights,
                        dtype_token.dtype, kz, block, window)
-    return dx, None, None, None, dw, None, None
+    return dx, None, dw, None, None
 
 
 band_subm_conv.defvjp(_band_fwd, _band_bwd)
@@ -316,8 +345,22 @@ band_subm_conv.defvjp(_band_fwd, _band_bwd)
 
 def band_eligible(cin: int, cout: int, kernel_size) -> bool:
     """Band path targets the wide convs the slab path can't help
-    (doubled-pack rows exceed the descriptor sweet spot above ~64 ch)."""
+    (doubled-pack rows exceed the descriptor sweet spot above ~64 ch).
+    Shapes whose kernel VMEM footprint would blow the 16 MiB scoped-vmem
+    budget fall back to the plain gather path instead of failing compile."""
     if os.environ.get("PONDER_BAND_CONV", "1") != "1":
         return False
     k = kernel_size if isinstance(kernel_size, int) else max(kernel_size)
-    return k == 3 and cin > 64
+    if k != 3 or cin <= 64:
+        return False
+    # worst kernel (fwd or dx): 9 resident windows + full weights in VMEM
+    # + double-buffered out blocks + the (BLOCK, WINDOW) iota/one-hot
+    cp, cop = _pad128(cin), _pad128(cout)
+    cmax = max(cp, cop)
+    est = (
+        9 * WINDOW * cmax * 2
+        + 27 * cp * cop * 2
+        + 2 * BLOCK * cmax * 4
+        + 2 * BLOCK * WINDOW * 4
+    )
+    return est < 14 * 1024 * 1024

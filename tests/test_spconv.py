@@ -555,8 +555,8 @@ class TestBandConv:
         plan = build_band_plan(rb, kernel, block=block, window=window)
         assert bool(plan.ok)
         token = jnp.zeros((0,), jnp.float32)
-        out = band_subm_conv((kernel, block, window), st.features, plan.rbt,
-                             plan.w0, plan.ok, weights, st.mask, token)
+        out = band_subm_conv((kernel, block, window), st.features, plan,
+                             weights, st.mask, token)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
@@ -575,8 +575,8 @@ class TestBandConv:
         token = jnp.zeros((0,), jnp.float32)
 
         def loss_band(f, w):
-            out = band_subm_conv((kernel, block, window), f, plan.rbt,
-                                 plan.w0, plan.ok, w, st.mask, token)
+            out = band_subm_conv((kernel, block, window), f, plan,
+                                 w, st.mask, token)
             return jnp.sum(out * out)
 
         def loss_plain(f, w):
@@ -601,6 +601,6 @@ class TestBandConv:
         plan = build_band_plan(rb, kernel, block=block, window=window)
         assert not bool(plan.ok)
         token = jnp.zeros((0,), jnp.float32)
-        out = band_subm_conv((kernel, block, window), st.features, plan.rbt,
-                             plan.w0, plan.ok, weights, st.mask, token)
+        out = band_subm_conv((kernel, block, window), st.features, plan,
+                             weights, st.mask, token)
         assert float(jnp.abs(out).sum()) == 0.0

@@ -78,29 +78,28 @@ def main():
         f_plain = jax.jit(
             lambda f, r, w: subm_conv_symmetric(f, r, w, st.mask, token))
         f_band = jax.jit(
-            lambda f, rbt, w0, okk, w: band_subm_conv(
-                cfg, f, rbt, w0, okk, w, st.mask, token))
+            lambda f, pln, w: band_subm_conv(cfg, f, pln, w, st.mask, token))
 
         # exactness on-device (bf16 compute both paths)
         o_p = f_plain(feats, rb, w)
-        o_b = f_band(feats, plan.rbt, plan.w0, plan.ok, w)
+        o_b = f_band(feats, plan, w)
         err = float(jnp.max(jnp.abs(o_p - o_b)))
         scale = float(jnp.max(jnp.abs(o_p)))
 
         def g_plain(f, r, ww):
             return jnp.sum(subm_conv_symmetric(f, r, ww, st.mask, token) ** 2)
 
-        def g_band(f, rbt, w0, okk, ww):
+        def g_band(f, pln, ww):
             return jnp.sum(band_subm_conv(
-                cfg, f, rbt, w0, okk, ww, st.mask, token) ** 2)
+                cfg, f, pln, ww, st.mask, token) ** 2)
 
         fb_plain = jax.jit(jax.grad(g_plain, argnums=(0, 2)))
-        fb_band = jax.jit(jax.grad(g_band, argnums=(0, 4)))
+        fb_band = jax.jit(jax.grad(g_band, argnums=(0, 2)))
 
         t_pf = timeit(f_plain, feats, rb, w)
-        t_bf = timeit(f_band, feats, plan.rbt, plan.w0, plan.ok, w)
+        t_bf = timeit(f_band, feats, plan, w)
         t_pb = timeit(fb_plain, feats, rb, w, iters=10)
-        t_bb = timeit(fb_band, feats, plan.rbt, plan.w0, plan.ok, w, iters=10)
+        t_bb = timeit(fb_band, feats, plan, w, iters=10)
         t_plan = timeit(
             jax.jit(lambda r: build_band_plan(r, kernel).w0), rb, iters=10)
         print(
