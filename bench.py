@@ -94,7 +94,7 @@ def build_model_cfg():
             remat=os.environ.get("BENCH_REMAT", "0") == "1",
         ),
         projection=dict(type="UNet3D-v1m2", in_channels=96, out_channels=128,
-                        f_maps=32, num_levels=4),
+                        f_maps=32, num_levels=4, compute_dtype=jnp.bfloat16),
         renderer=dict(
             type="NeuSModel",
             field=dict(hidden_dim=128, num_layers=2, geo_feat_dim=64,

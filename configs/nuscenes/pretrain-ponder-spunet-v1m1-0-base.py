@@ -23,6 +23,8 @@ metric_keys = ("depth_loss", "eikonal_loss", "free_space_loss", "sdf_loss")
 
 model = dict(
     type="PonderOutdoor-v2",
+    # MAE-style voxel-block masking of the lidar features (reference :22)
+    mask=dict(ratio=0.8, size=8, channel=4),
     backbone=dict(
         type="SpUNet-v1m1",
         in_channels=4,  # xyz-strength lidar features
@@ -51,8 +53,10 @@ model = dict(
             weights=dict(eikonal=0.01, free_space=1.0, sdf=10.0, depth=1.0),
         ),
     ),
-    grid_shape=(180, 180, 5),
-    point_cloud_range=point_cloud_range,
+    # per-condition tuples (reference :72-74)
+    grid_shape=((180, 180, 5),),
+    point_cloud_range=(point_cloud_range,),
+    grid_size=((0.6, 0.6, 1.6),),
     pool_type="mean",
     render_semantic=False,
     conditions=("NuScenes",),

@@ -49,19 +49,22 @@ class ResidualDecoder(nn.Module):
     points_factor: float = 1.0
     activation: str = "softplus"  # softplus | relu
     final: Optional[str] = None  # None | sigmoid
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, *conds: jnp.ndarray) -> jnp.ndarray:
         act = _softplus100 if self.activation == "softplus" else nn.relu
         feats = conds[0] if len(conds) == 1 else jnp.concatenate(conds, axis=-1)
-        x = nn.Dense(self.hidden_dim, name="fc_p")(points) * self.points_factor
+        dense = lambda d, name: nn.Dense(d, name=name, dtype=self.dtype)
+        x = dense(self.hidden_dim, "fc_p")(points) * self.points_factor
         n_lin = self.n_blocks + 1
         for l in range(n_lin):
-            x = x + nn.Dense(self.hidden_dim, name=f"fc_c{l}")(feats)
+            x = x + dense(self.hidden_dim, f"fc_c{l}")(feats)
             out_d = self.out_dim if l == n_lin - 1 else self.hidden_dim
-            x = nn.Dense(out_d, name=f"lin{l}")(x)
+            x = dense(out_d, f"lin{l}")(x)
             if l < n_lin - 1:
                 x = act(x)
+        x = x.astype(jnp.float32)
         if self.final == "sigmoid":
             x = jax.nn.sigmoid(x)
         return x
@@ -136,6 +139,7 @@ class SDFField(nn.Module):
             out_dim=1 + self.geo_feat_dim,
             points_factor=self.points_factor,
             activation="softplus",
+            dtype=self.compute_dtype,
             name="sdf_decoder",
         )
         if self.use_color:
@@ -144,6 +148,7 @@ class SDFField(nn.Module):
                 n_blocks=self.rgb_n_blocks,
                 out_dim=3,
                 activation="relu",
+                dtype=self.compute_dtype,
                 name="rgb_decoder",
             )
         if self.use_semantic:
@@ -152,6 +157,7 @@ class SDFField(nn.Module):
                 n_blocks=self.semantic_n_blocks,
                 out_dim=self.semantic_dim,
                 activation="relu",
+                dtype=self.compute_dtype,
                 name="semantic_decoder",
             )
         self.deviation = SingleVarianceNetwork(
@@ -187,11 +193,16 @@ class SDFField(nn.Module):
         out = self.sdf_decoder(points, feat_sdf)
         return out[..., 0] - self.sdf_bias
 
-    def get_sdf_and_geo(self, volume, points):
+    def _sdf_geo(self, volume, points):
+        """(sdf, aux=(geo, appearance-feat)) — the vjp-fused forward body."""
         feat = self.sample_features(volume, points)
         feat_sdf, feat_app = self._split(feat)
         out = self.sdf_decoder(points, feat_sdf)
-        return out[..., 0] - self.sdf_bias, out[..., 1:], feat_app
+        return out[..., 0] - self.sdf_bias, (out[..., 1:], feat_app)
+
+    def get_sdf_and_geo(self, volume, points):
+        sdf, (geo, feat_app) = self._sdf_geo(volume, points)
+        return sdf, geo, feat_app
 
     def get_gradient(self, volume, points):
         """Spatial gradient of the sdf at each point (normals, eikonal)."""
@@ -240,8 +251,14 @@ class SDFField(nn.Module):
         """
         mid = 0.5 * (starts + ends)
         positions = origins[..., None, :] + directions[..., None, :] * mid[..., None]
-        sdf, geo, feat = self.get_sdf_and_geo(volume, positions)
-        gradients = self.get_gradient(volume, positions)
+        # one forward + one pullback yields sdf, geo/appearance features AND
+        # the spatial sdf gradient — get_sdf_and_geo + get_gradient would
+        # run the volume sample + sdf decoder forward twice (sdf_i depends
+        # only on p_i, so the sum-pullback IS the per-point gradient)
+        sdf, pullback, (geo, feat) = jax.vjp(
+            lambda p: self._sdf_geo(volume, p), positions, has_aux=True
+        )
+        gradients = pullback(jnp.ones_like(sdf))[0]
         inv_s = self.deviation()
         deltas = jnp.maximum(ends - starts, 1e-6)
         alphas = self.get_alpha(

@@ -36,6 +36,7 @@ class SingleConv(nn.Module):
     out_channels: int
     num_groups: int = 1
     order: str = "bcr"
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (norms stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,12 +44,15 @@ class SingleConv(nn.Module):
         for ch in self.order:
             if ch == "c":
                 x = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
-                            use_bias=use_bias, name="conv")(x)
+                            use_bias=use_bias, dtype=self.dtype,
+                            name="conv")(x)
             elif ch == "b":
+                # batch stats accumulate in f32 (bf16 mean over 500k+ voxels
+                # loses ~all mantissa)
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name="batchnorm",
-                )(x)
+                )(x.astype(jnp.float32))
             elif ch == "g":
                 x = nn.GroupNorm(num_groups=self.num_groups,
                                  name="groupnorm")(x)
@@ -67,15 +71,16 @@ class DoubleConv(nn.Module):
     num_groups: int = 8
     encoder: bool = True
     order: str = "bcr"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.out_channels // 2 if self.encoder else self.out_channels
         mid = max(mid, 1)
-        x = SingleConv(mid, self.num_groups, self.order,
+        x = SingleConv(mid, self.num_groups, self.order, self.dtype,
                        name="SingleConv1")(x, train)
         x = SingleConv(self.out_channels, self.num_groups, self.order,
-                       name="SingleConv2")(x, train)
+                       self.dtype, name="SingleConv2")(x, train)
         return x
 
 
@@ -93,6 +98,7 @@ class Abstract3DUNet(nn.Module):
     double_conv: bool = False
     final_sigmoid: bool = False
     is_segmentation: bool = False  # False = regression mode (no final activation)
+    compute_dtype: Optional[jnp.dtype] = None  # conv compute dtype
 
     @nn.compact
     def __call__(self, volume: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -106,10 +112,12 @@ class Abstract3DUNet(nn.Module):
                 x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
             if self.double_conv:
                 x = DoubleConv(ch, self.num_groups, encoder=True,
-                               order=self.layer_order, name=f"enc{li}")(
+                               order=self.layer_order,
+                               dtype=self.compute_dtype, name=f"enc{li}")(
                     x, train)
             else:
                 x = SingleConv(ch, self.num_groups, order=self.layer_order,
+                               dtype=self.compute_dtype,
                                name=f"enc{li}")(x, train)
             skips.append(x)
 
@@ -121,7 +129,8 @@ class Abstract3DUNet(nn.Module):
                 x = x[:, : skip.shape[1], : skip.shape[2], : skip.shape[3]]
                 x = jnp.concatenate([skip, x], axis=-1)
                 x = DoubleConv(ch, self.num_groups, encoder=False,
-                               order=self.layer_order, name=f"dec{li}")(
+                               order=self.layer_order,
+                               dtype=self.compute_dtype, name=f"dec{li}")(
                     x, train)
             else:
                 # transposed-conv upsampling + summation joining (reference
@@ -134,17 +143,20 @@ class Abstract3DUNet(nn.Module):
                     ch, (3, 3, 3), strides=(2, 2, 2),
                     padding=((1, 2), (1, 2), (1, 2)),
                     transpose_kernel=True,
+                    dtype=self.compute_dtype,
                     name=f"dec{li}_up",
                 )(x)
                 x = x[:, : skip.shape[1], : skip.shape[2], : skip.shape[3]]
-                x = skip + x
+                x = skip.astype(x.dtype) + x
                 x = SingleConv(ch, self.num_groups, order=self.layer_order,
+                               dtype=self.compute_dtype,
                                name=f"dec{li}")(x, train)
 
-        x = nn.Conv(self.out_channels, (1, 1, 1), name="final")(x)
+        x = nn.Conv(self.out_channels, (1, 1, 1),
+                    dtype=self.compute_dtype, name="final")(x)
         if self.is_segmentation and self.final_sigmoid:
             x = nn.sigmoid(x)
-        return jnp.transpose(x, (0, 4, 1, 2, 3))
+        return jnp.transpose(x.astype(jnp.float32), (0, 4, 1, 2, 3))
 
 
 @MODELS.register_module(name="UNet3D-v1m1")

@@ -348,3 +348,35 @@ class TestClusterProtocolExactness:
         dual = cluster_proposals(coords, shifted, classes, valid,
                                  radius=0.05, min_points=20, dual_set=True)
         assert len(dual) == 2 * len(single)
+
+
+class TestComputeDtype:
+    """bf16 compute paths (bench defaults) stay numerically close to f32."""
+
+    def test_unet3d_bf16_matches_f32(self, rng):
+        cfg = dict(type="UNet3D-v1m2", in_channels=8, out_channels=16,
+                   f_maps=8, num_levels=3)
+        vol = jnp.asarray(rng.randn(1, 8, 16, 16, 8).astype(np.float32))
+        m32 = build_model(dict(cfg))
+        v = m32.init(jax.random.PRNGKey(0), vol, train=False)
+        m16 = build_model(dict(cfg, compute_dtype=jnp.bfloat16))
+        o32 = m32.apply(v, vol, train=False)
+        o16 = m16.apply(v, vol, train=False)  # same params: dtype is compute-only
+        assert o16.dtype == jnp.float32
+        denom = np.maximum(np.abs(np.asarray(o32)), 1.0)
+        assert np.max(np.abs(np.asarray(o16 - o32)) / denom) < 0.1
+
+    def test_residual_decoder_bf16_matches_f32(self, rng):
+        from ponderv2_tpu.models.ponder.render.fields import ResidualDecoder
+
+        pts = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+        cond = jnp.asarray(rng.randn(64, 16).astype(np.float32))
+        d32 = ResidualDecoder(hidden_dim=32, n_blocks=1, out_dim=4)
+        v = d32.init(jax.random.PRNGKey(0), pts, cond)
+        d16 = ResidualDecoder(hidden_dim=32, n_blocks=1, out_dim=4,
+                              dtype=jnp.bfloat16)
+        o32 = d32.apply(v, pts, cond)
+        o16 = d16.apply(v, pts, cond)
+        assert o16.dtype == jnp.float32
+        denom = np.maximum(np.abs(np.asarray(o32)), 1.0)
+        assert np.max(np.abs(np.asarray(o16 - o32)) / denom) < 0.1
