@@ -113,6 +113,8 @@ def build_model_cfg():
         ),
         grid_shape=(128, 128, 32),
         grid_size=0.02,
+        # collate_fn pre-sorts rows by (batch, voxel key): skip the device sort
+        assume_sorted=True,
         ray_nsample=256,
         padding=0.1,
         pool_type="mean",

@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-_INT_PAD_KEYS = {"segment", "instance", "category"}  # pad with ignore -1
+_INT_PAD_KEYS = {"segment", "instance", "category", "index"}  # pad ignore -1
 _COORD_PAD_KEYS = {"grid_coord"}  # pad with -1 (invalid voxel)
 
 
@@ -72,11 +72,13 @@ def collate_fn(
     batch_size = len(batch)
 
     out: Dict[str, Any] = {}
+    point_keys = []
     keys = batch[0].keys()
     for key in keys:
         vals = [s[key] for s in batch]
         v0 = vals[0]
         if isinstance(v0, np.ndarray) and v0.ndim >= 1 and v0.shape[0] == sizes[0]:
+            point_keys.append(key)
             cat = np.concatenate(vals, axis=0)
             if pad > 0:
                 if key in _INT_PAD_KEYS:
@@ -111,6 +113,21 @@ def collate_fn(
         merged = batch_ids.copy()
         merged[batch_ids >= 0] = batch_ids[batch_ids >= 0] // 2
         batch_ids = merged
+
+    if "grid_coord" in out:
+        # pre-sort rows by (batch, voxel ravel key), padding last — the
+        # lexicographic (b, x, y, z) order equals the device-side ravel-key
+        # order for ANY spatial_shape, so models built with
+        # ``assume_sorted=True`` skip the per-step device argsort +
+        # un-permute gather (ops.sparse.sort_by_key) entirely. Host cost:
+        # one np.lexsort per batch, overlapped with device compute.
+        g = out["grid_coord"]
+        b64 = batch_ids.astype(np.int64)
+        b_key = np.where(b64 < 0, np.iinfo(np.int64).max, b64)
+        perm = np.lexsort((g[:, 2], g[:, 1], g[:, 0], b_key))
+        for key in point_keys:
+            out[key] = out[key][perm]
+        batch_ids = batch_ids[perm]
 
     out["batch"] = batch_ids
     out["offset"] = np.cumsum(np.asarray(sizes, dtype=np.int64))

@@ -150,13 +150,17 @@ class SemSegTester(TesterBase):
             )
             pred = np.zeros((num_points, num_classes), np.float32)
             for frag in fragments:
-                index = np.asarray(frag["index"])
-                batch = collate_fn([{k: v for k, v in frag.items() if k != "index"}],
-                                   point_budget=point_budget, scene_budget=1)
+                # "index" rides through collation so the vote scatter stays
+                # aligned under collate's (batch, voxel key) row sort;
+                # padding rows carry index -1 and are masked out
+                batch = collate_fn([dict(frag)], point_budget=point_budget,
+                                   scene_budget=1)
                 arrays, _ = split_batch(batch)
                 arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
                 out = self.eval_fragment(arrays)
-                logits = np.asarray(out["seg_logits"])[: len(index)]
+                valid = np.asarray(batch["batch"]) >= 0
+                index = np.asarray(batch["index"])[valid]
+                logits = np.asarray(out["seg_logits"])[valid]
                 probs = np.exp(logits - logits.max(-1, keepdims=True))
                 probs /= probs.sum(-1, keepdims=True)
                 pred[index] += probs

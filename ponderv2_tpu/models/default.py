@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .builder import MODELS, build_model
 from .losses.builder import build_criteria
-from ..ops.sparse import make_sparse_tensor, sort_by_key
+from ..ops.sparse import make_sparse_tensor, maybe_sort_by_key
 from ..ops.scatter import segment_max, segment_mean
 
 
@@ -43,6 +43,8 @@ class DefaultSegmentor(nn.Module):
     backbone: Any = None
     criteria: Any = None
     sort_input: bool = True  # spatial-sort rows for gather locality
+    assume_sorted: bool = False  # rows pre-sorted by (batch, voxel key)
+    #   (datasets.utils.collate_fn invariant); skips the device sort
 
     def setup(self):
         self.backbone_net = build_model(dict(self.backbone))
@@ -56,8 +58,10 @@ class DefaultSegmentor(nn.Module):
             bout = self.backbone_net(input_dict, train=train)
             seg_logits = bout.get("feat", bout.get("seg_logits"))
         elif self.sort_input:
-            st_sorted, inverse = sort_by_key(st)
-            seg_logits = self.backbone_net(st_sorted, train=train)[inverse]
+            st_sorted, inverse = maybe_sort_by_key(st, self.assume_sorted)
+            seg_logits = self.backbone_net(st_sorted, train=train)
+            if inverse is not None:
+                seg_logits = seg_logits[inverse]
         else:
             seg_logits = self.backbone_net(st, train=train)
         out: Dict[str, Any] = {"seg_logits": seg_logits}

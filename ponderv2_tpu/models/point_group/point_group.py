@@ -23,6 +23,8 @@ from ..losses.builder import build_criteria
 @MODELS.register_module(name="PG-v1m1")
 class PointGroup(nn.Module):
     backbone: Any = None
+    assume_sorted: bool = False  # rows pre-sorted by (batch, voxel key)
+    #   (datasets.utils.collate_fn invariant); skips the device sort
     criteria: Any = None
     backbone_out_channels: int = 64
     semantic_num_classes: int = 20
@@ -51,10 +53,12 @@ class PointGroup(nn.Module):
             # PPT-v1m1 backbone_mode (reference insseg-ppt-...-ft configs)
             feat = self.backbone_net(input_dict, train=train)["feat"]
         else:
-            from ...ops.sparse import sort_by_key
+            from ...ops.sparse import maybe_sort_by_key
 
-            st_sorted, inverse = sort_by_key(st)
-            feat = self.backbone_net(st_sorted, train=train)[inverse]
+            st_sorted, inverse = maybe_sort_by_key(st, self.assume_sorted)
+            feat = self.backbone_net(st_sorted, train=train)
+            if inverse is not None:
+                feat = feat[inverse]
         bias_pred = self.bias_head(feat)  # (N, 3)
         logits = self.seg_head(feat)  # (N, K)
         mask = st.mask

@@ -41,6 +41,8 @@ class PointPromptTraining(nn.Module):
     class_name: Tuple[str, ...] = ()
     valid_index: Tuple[Tuple[int, ...], ...] = ()
     backbone_mode: bool = False
+    assume_sorted: bool = False  # rows pre-sorted by (batch, voxel key)
+    #   (datasets.utils.collate_fn invariant); skips the device sort
     embedding_path: Optional[str] = None
 
     def setup(self):
@@ -72,12 +74,14 @@ class PointPromptTraining(nn.Module):
         context = self.context_embedding(jnp.asarray(ci))
 
         st = batch_to_sparse_tensor(input_dict)
-        from ...ops.sparse import sort_by_key
+        from ...ops.sparse import maybe_sort_by_key
 
-        st_sorted, inverse = sort_by_key(st)
+        st_sorted, inverse = maybe_sort_by_key(st, self.assume_sorted)
         feat = self.backbone_net(
             st_sorted, train=train, condition=cond, context=context
-        )[inverse]
+        )
+        if inverse is not None:
+            feat = feat[inverse]
         if self.backbone_mode:
             return {"feat": feat}
 

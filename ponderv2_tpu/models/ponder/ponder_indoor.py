@@ -49,6 +49,8 @@ class PonderIndoor(nn.Module):
     grid_shape: Tuple[int, int, int] = (128, 128, 32)
     grid_size: float = 0.02
     val_ray_split: int = 10240
+    assume_sorted: bool = False  # rows pre-sorted by (batch, voxel key)
+    #   (datasets.utils.collate_fn invariant); skips the device sort
     ray_nsample: int = 256
     padding: float = 0.1
     pool_type: str = "mean"
@@ -201,33 +203,45 @@ class PonderIndoor(nn.Module):
         # (B, V, 3), (B, V, H, W, 3), (B, V, H, W)
         valid = depth > 0
 
-        n = self.ray_nsample
         flat_valid = valid.reshape(B, V, H * W)
-        if train and rng is not None:
+        if train:
+            # random valid-first picking of ray_nsample rays per view
+            n = self.ray_nsample
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
             score = jax.random.uniform(rng, (B, V, H * W))
+            score = score + flat_valid.astype(jnp.float32) * 10.0
+            _, pick = jax.lax.top_k(score, n)  # (B, V, n)
+
+            def take(x):
+                return jnp.take_along_axis(
+                    x.reshape(B, V, H * W, -1), pick[..., None], axis=2
+                )
+
+            sel_rgb = take(rgb)  # (B, V, n, 3)
+            sel_depth = take(depth[..., None])[..., 0]
+            sel_dirs = take(dirs.reshape(B, V, H, W, 3))
+            sel_dfac = take(depth_factor[..., None])[..., 0]
+            sel_valid = (
+                take(flat_valid[..., None].astype(jnp.float32))[..., 0] > 0.5
+            )
+            sel_sem = (
+                take(semantic[..., None].astype(jnp.int32))[..., 0]
+                if semantic is not None else None
+            )
         else:
-            # deterministic spread at eval
-            score = jnp.broadcast_to(
-                (jnp.arange(H * W) % 997).astype(jnp.float32) / 997.0,
-                (B, V, H * W),
-            )
-        score = score + flat_valid.astype(jnp.float32) * 10.0
-        _, pick = jax.lax.top_k(score, n)  # (B, V, n)
-
-        def take(x):
-            return jnp.take_along_axis(
-                x.reshape(B, V, H * W, -1), pick[..., None], axis=2
-            )
-
-        sel_rgb = take(rgb)  # (B, V, n, 3)
-        sel_depth = take(depth[..., None])[..., 0]
-        sel_dirs = take(dirs.reshape(B, V, H, W, 3))
-        sel_dfac = take(depth_factor[..., None])[..., 0]
-        sel_valid = take(flat_valid[..., None].astype(jnp.float32))[..., 0] > 0.5
-        sel_sem = (
-            take(semantic[..., None].astype(jnp.int32))[..., 0]
-            if semantic is not None else None
-        )
+            # eval renders EVERY pixel (reference ponder_indoor_base.py
+            # full-image eval, chunked by val_ray_split downstream) so
+            # PSNR/depth metrics are reference-comparable; invalid pixels
+            # stay masked via ray_mask
+            n = H * W
+            sel_rgb = rgb.reshape(B, V, n, 3)
+            sel_depth = depth.reshape(B, V, n)
+            sel_dirs = dirs.reshape(B, V, n, 3)
+            sel_dfac = depth_factor.reshape(B, V, n)
+            sel_valid = flat_valid
+            sel_sem = (semantic.reshape(B, V, n).astype(jnp.int32)
+                       if semantic is not None else None)
 
         # normalize into the unit cube: uniform scale keeps directions
         o_norm = (origins - loc[:, None, :]) * scale[:, None, None]
@@ -260,10 +274,12 @@ class PonderIndoor(nn.Module):
                 st.features, input_dict["grid_coord"], input_dict["batch"], rng_mask
             )
             st = st.replace_features(feat_in)
-        from ...ops.sparse import sort_by_key
+        from ...ops.sparse import maybe_sort_by_key
 
-        st_sorted, inverse = sort_by_key(st)
-        sparse_feat = self.backbone_net(st_sorted, train=train)[inverse]  # (N, C)
+        st_sorted, inverse = maybe_sort_by_key(st, self.assume_sorted)
+        sparse_feat = self.backbone_net(st_sorted, train=train)  # (N, C)
+        if inverse is not None:
+            sparse_feat = sparse_feat[inverse]
 
         coord = input_dict["coord"].astype(jnp.float32)
         batch = input_dict["batch"]
@@ -285,22 +301,35 @@ class PonderIndoor(nn.Module):
         if (not train) and R > self.val_ray_split:
             # eval-time ray chunking (reference ponder_indoor_base.py:656-668):
             # render val_ray_split rays at a time so full-resolution eval fits
-            # memory. Python loop (static trip count) keeps flax happy.
+            # memory. nn.scan compiles the chunk body ONCE (a Python loop
+            # would unroll V*H*W/split copies for the full-pixel eval).
             chunk = self.val_ray_split
             n_pad = (-R) % chunk
+            nc = (R + n_pad) // chunk
             ro = jnp.pad(ray_o, ((0, 0), (0, n_pad), (0, 0)))
             rd = jnp.pad(ray_d, ((0, 0), (0, n_pad), (0, 0)))
-            parts = []
-            for s in range(0, R + n_pad, chunk):
-                parts.append(
-                    self.render_model(
-                        volume, ro[:, s:s + chunk], rd[:, s:s + chunk],
-                        train=False, rng=rng_render,
-                    )
-                )
-            render_out = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=1)[:, :R], *parts
+            ro = jnp.moveaxis(ro.reshape(B, nc, chunk, 3), 1, 0)
+            rd = jnp.moveaxis(rd.reshape(B, nc, chunk, 3), 1, 0)
+
+            def body(mdl, carry, xs):
+                o, d = xs
+                return carry, mdl(volume, o, d, train=False, rng=rng_render)
+
+            scan = nn.scan(
+                body,
+                variable_broadcast=["params", "constants", "batch_stats"],
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
             )
+            _, stacked = scan(self.render_model, None, (ro, rd))
+
+            def merge(x):
+                if x.ndim <= 1:  # per-chunk scalar (e.g. inv_s): identical
+                    return x[0]
+                x = jnp.moveaxis(x, 0, 1)  # (B, nc, chunk, ...)
+                return x.reshape(B, nc * chunk, *x.shape[3:])[:, :R]
+
+            render_out = jax.tree.map(merge, stacked)
         else:
             render_out = self.render_model(
                 volume, ray_o, ray_d, train=train, rng=rng_render,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.scatter import segment_max, segment_mean
-from ...ops.sparse import sort_by_key
+from ...ops.sparse import maybe_sort_by_key
 from ..builder import MODELS, build_model
 from ..default import batch_to_sparse_tensor
 from .render.surface_models import RENDERERS
@@ -80,6 +80,8 @@ class PonderOutdoor(nn.Module):
     # channel). Blocks of ``size`` voxels are dropped with prob ``ratio`` and
     # replaced by the learned ``mtoken``.
     mask: Optional[Any] = None
+    assume_sorted: bool = False  # rows pre-sorted by (batch, voxel key)
+    #   (datasets.utils.collate_fn invariant); skips the device sort
     share_volume: bool = True  # accepted for config parity (unused upstream)
     pool_type: str = "mean"
     render_semantic: bool = False
@@ -183,8 +185,10 @@ class PonderOutdoor(nn.Module):
         # spatial key-sort before the backbone (spconv's sortedness contract
         # zero-poisons unsorted rows), un-permute features back after —
         # same as PonderIndoor/DefaultSegmentor
-        st_sorted, inverse = sort_by_key(st)
-        feat = self.backbone_net(st_sorted, train=train)[inverse]
+        st_sorted, inverse = maybe_sort_by_key(st, self.assume_sorted)
+        feat = self.backbone_net(st_sorted, train=train)
+        if inverse is not None:
+            feat = feat[inverse]
 
         coord = input_dict["coord"].astype(jnp.float32)
         batch = input_dict["batch"]

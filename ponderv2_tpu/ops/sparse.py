@@ -180,6 +180,18 @@ def batch2offset(batch: jnp.ndarray, batch_size: int) -> jnp.ndarray:
     return jnp.cumsum(counts)
 
 
+def maybe_sort_by_key(st: SparseTensor, assume_sorted: bool = False):
+    """``sort_by_key`` unless the data pipeline already guarantees the order.
+
+    ``datasets.utils.collate_fn`` pre-sorts rows by (batch, voxel key) on the
+    host, so models built with ``assume_sorted=True`` skip the device argsort
+    and the un-permute gather. Returns (st, None) in that case; callers treat
+    ``inverse=None`` as the identity permutation."""
+    if assume_sorted:
+        return st, None
+    return sort_by_key(st)
+
+
 def sort_by_key(st: SparseTensor) -> Tuple[SparseTensor, jnp.ndarray]:
     """Sort rows by spatial key (padding last). Returns (sorted_st, inverse_perm).
 

@@ -1,5 +1,7 @@
 """Data pipeline tests: transforms, GridSample modes, collate, loaders."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -130,3 +132,69 @@ class TestLoaders:
         conditions = [b["condition"] for b in loader]
         assert len(conditions) > 0
         assert conditions.count("SyntheticDataset") == len(conditions)
+
+
+class TestCollateSortInvariant:
+    def _scenes(self, rng, sizes=(120, 90)):
+        scenes = []
+        for n in sizes:
+            g = rng.randint(0, 40, (n, 3)).astype(np.int32)
+            # unique voxels per scene (spconv contract)
+            g = np.unique(g, axis=0)
+            n = len(g)
+            scenes.append(dict(
+                coord=g.astype(np.float32) * 0.05,
+                grid_coord=g,
+                feat=rng.rand(n, 6).astype(np.float32),
+                segment=rng.randint(0, 5, n).astype(np.int64),
+            ))
+        return scenes
+
+    def test_rows_sorted_by_batch_and_voxel_key(self, rng):
+        out = collate_fn(self._scenes(rng), point_budget=256, scene_budget=2)
+        b = out["batch"]
+        valid = b >= 0
+        g = out["grid_coord"][valid].astype(np.int64)
+        key = ((b[valid].astype(np.int64) * 64 + g[:, 0]) * 64 + g[:, 1]) \
+            * 64 + g[:, 2]
+        assert (np.diff(key) > 0).all()  # strictly: unique voxels per scene
+        assert not valid[np.argmax(~valid):].any()  # padding is a suffix
+
+    def test_point_keys_permuted_consistently(self, rng):
+        scenes = self._scenes(rng)
+        out = collate_fn(scenes, point_budget=256, scene_budget=2)
+        valid = out["batch"] >= 0
+        # every (grid_coord, feat, segment) row triple must still co-occur
+        orig = {}
+        for si, s in enumerate(scenes):
+            for i in range(len(s["feat"])):
+                orig[(si, *s["grid_coord"][i])] = (s["feat"][i], s["segment"][i])
+        for i in np.where(valid)[0]:
+            k = (out["batch"][i], *out["grid_coord"][i])
+            f, seg = orig[k]
+            np.testing.assert_array_equal(out["feat"][i], f)
+            assert out["segment"][i] == seg
+
+    def test_assume_sorted_model_equivalence(self, rng):
+        from ponderv2_tpu.models import build_model
+
+        scenes = self._scenes(rng)
+        out = collate_fn(scenes, point_budget=256, scene_budget=2)
+        arrays = {k: jnp.asarray(v) for k, v in out.items()
+                  if isinstance(v, np.ndarray)}
+        arrays["batch_size"] = 2
+        arrays["spatial_shape"] = (64, 64, 64)
+        cfg = dict(
+            type="DefaultSegmentor",
+            backbone=dict(type="SpUNet-v1m1", in_channels=6, num_classes=5,
+                          base_channels=8, channels=(8, 8, 8, 8),
+                          layers=(1, 1, 1, 1)),
+            criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)],
+        )
+        m_sort = build_model(dict(cfg))
+        variables = m_sort.init(jax.random.PRNGKey(0), arrays, train=False)
+        m_trust = build_model(dict(cfg, assume_sorted=True))
+        o1 = m_sort.apply(variables, arrays, train=False)["seg_logits"]
+        o2 = m_trust.apply(variables, arrays, train=False)["seg_logits"]
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   rtol=1e-5, atol=1e-5)

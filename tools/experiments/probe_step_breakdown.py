@@ -79,7 +79,79 @@ def main():
         float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
         return (time.perf_counter() - t0) / iters * 1e3
 
-    if what == "fwd":
+    if what in ("backbone", "render"):
+        # sectional timings through module methods: backbone = sparse UNet
+        # fwd (and fwd+vjp); render = everything after the backbone
+        # (unit-cube, volume scatter, UNet3D proj, ray pick, NeuS render,
+        # losses) from a FIXED sparse_feat input.
+        from ponderv2_tpu.models.default import batch_to_sparse_tensor
+        from ponderv2_tpu.ops.sparse import sort_by_key
+
+        vars_all = {"params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                    "constants": variables.get("constants", {})}
+
+        def backbone_fn(params, a):
+            def m(mdl, inp):
+                st = batch_to_sparse_tensor(inp)
+                st_s, inv = sort_by_key(st)
+                return mdl.backbone_net(st_s, train=True)[inv]
+
+            out, _ = model.apply(
+                {**vars_all, "params": params}, {**a, **static_ctx},
+                method=m, mutable=["batch_stats"])
+            return out
+
+        def render_fn(params, feat, a):
+            def m(mdl, sparse_feat, inp):
+                coord = inp["coord"].astype(jnp.float32)
+                b = inp["batch"]
+                B = int(inp["batch_size"])
+                loc, scale, z_shift = mdl._unit_cube_params(coord, b, B)
+                p_norm = mdl._normalize_points(coord, b, loc, scale, z_shift)
+                volume = mdl._build_volume(sparse_feat, p_norm, b, B)
+                volume = mdl.proj_net(volume, train=True)
+                ray_dict = mdl._sample_rays(
+                    inp, loc, scale, z_shift, inp["rng"], True)
+                pad = 1.0 + mdl.padding
+                ray_o = (ray_dict["ray_o"] / pad) + 0.5
+                out = mdl.render_model(volume, ray_o, ray_dict["ray_d"],
+                                       train=True, rng=inp["rng"])
+                emb = (mdl.class_embedding.value
+                       if hasattr(mdl, "class_embedding") else None)
+                losses = mdl.render_model.get_loss(out, ray_dict, emb)
+                return losses["render_loss"]
+
+            out, _ = model.apply(
+                {**vars_all, "params": params}, feat,
+                {**a, **static_ctx, "rng": rng},
+                method=m, mutable=["batch_stats"])
+            return out
+
+        if what == "backbone":
+            c = jax.jit(
+                lambda p, a: jnp.sum(backbone_fn(p, a))
+            ).lower(variables["params"], arrays).compile()
+            print("backbone fwd    %7.1f ms"
+                  % timeit_scalar(c, variables["params"], arrays))
+            cg = jax.jit(
+                jax.grad(lambda p, a: jnp.sum(backbone_fn(p, a)))
+            ).lower(variables["params"], arrays).compile()
+            print("backbone f+g    %7.1f ms"
+                  % timeit_scalar(cg, variables["params"], arrays))
+        else:
+            feat = jax.jit(backbone_fn)(variables["params"], arrays)
+            feat = jax.block_until_ready(feat)
+            c = jax.jit(render_fn).lower(
+                variables["params"], feat, arrays).compile()
+            print("render fwd      %7.1f ms"
+                  % timeit_scalar(c, variables["params"], feat, arrays))
+            cg = jax.jit(
+                jax.grad(render_fn, argnums=(0, 1))
+            ).lower(variables["params"], feat, arrays).compile()
+            print("render f+g      %7.1f ms"
+                  % timeit_scalar(cg, variables["params"], feat, arrays))
+    elif what == "fwd":
         c = jax.jit(loss_fwd).lower(variables["params"], arrays).compile()
         print("model fwd       %7.1f ms"
               % timeit_scalar(c, variables["params"], arrays))
