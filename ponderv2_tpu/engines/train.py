@@ -73,16 +73,26 @@ def make_train_step(
         def loss_fn(params):
             out, mutated = model.apply(
                 _variables(state, params), input_dict, train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "diagnostics"],
             )
-            return out[loss_key], (out, mutated["batch_stats"])
+            return out[loss_key], (
+                out, mutated["batch_stats"], mutated.get("diagnostics", {})
+            )
 
-        (loss, (out, batch_stats)), grads = jax.value_and_grad(
+        (loss, (out, batch_stats, diags)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "lr": schedule(state.step)}
+        # kernel-contract flags (rows key-sorted, band windows cover): sown by
+        # the sparse backbones; 1.0 iff every plan's contract held this step.
+        # Trainer.sync_metrics and bench.py raise when it goes false.
+        flags = jax.tree.leaves(diags)
+        if flags:
+            metrics["contract_ok"] = jnp.all(jnp.stack(flags)).astype(
+                jnp.float32
+            )
         for k in metric_keys:
             if k in out:
                 metrics[k] = out[k]
@@ -341,7 +351,18 @@ class Trainer(TrainerBase):
 
     def sync_metrics(self) -> Dict[str, float]:
         """Device->host fetch of the last step's metrics (blocks)."""
-        return {k: float(v) for k, v in self.comm_info.get("metrics", {}).items()}
+        metrics = {
+            k: float(v) for k, v in self.comm_info.get("metrics", {}).items()
+        }
+        if metrics.get("contract_ok", 1.0) < 0.5:
+            raise RuntimeError(
+                "sparse-conv kernel contract violated this step "
+                "(rows not key-sorted or band window overflow): conv outputs "
+                "were zero-poisoned by design. Check that the collate path "
+                "sorts rows when the model sets assume_sorted=True, or raise "
+                "PONDER_BAND_WINDOW. Refusing to continue training."
+            )
+        return metrics
 
 
 @TRAINERS.register_module("MultiDatasetTrainer")

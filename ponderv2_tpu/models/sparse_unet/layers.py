@@ -27,6 +27,19 @@ from ...ops.spconv import (
 )
 
 
+def sow_contract(module: nn.Module, flags) -> None:
+    """Aggregate plan contract flags into ``diagnostics/contract_ok``.
+
+    Train steps surface the flag as a metric; Trainer/bench raise when it is
+    false — sortedness/window violations zero-poison conv outputs by design
+    (ops.spconv/ops.band_conv) and must fail loudly, never train silently."""
+    if flags:
+        ok = jnp.all(jnp.stack(flags))
+        module.sow("diagnostics", "contract_ok", ok,
+                   reduce_fn=jnp.logical_and,
+                   init_fn=lambda: jnp.asarray(True))
+
+
 def _apply_conv(features, rulebook, w, mask, compute_dtype):
     """Strided/inverse conv application: gather-only custom VJP (dx via the
     inverted rulebook instead of XLA's feature scatter-add), with the

@@ -22,10 +22,11 @@ from ...ops.spconv import (
     attach_band_rulebook,
     build_subm_rulebook,
     invert_strided_rulebook,
+    plan_contract_flags,
 )
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm
-from .layers import InverseConv, StridedConv, SubMConv
+from .layers import InverseConv, StridedConv, SubMConv, sow_contract
 from .spunet import BasicBlock, BlockStack, capacity_schedule
 
 
@@ -102,6 +103,7 @@ class MinkUNetBase(nn.Module):
         bn = partial(MaskedBatchNorm, eps=self.bn_eps, momentum=self.bn_momentum)
 
         rb0 = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
+        contract = plan_contract_flags(rb0)
         x = SubMConv(self.init_dim, 5, compute_dtype=self.compute_dtype,
                      name="stem")(st, rb0)
         h = nn.relu(bn(self.init_dim, name="stem_bn")(x.features, x.mask, train))
@@ -125,6 +127,7 @@ class MinkUNetBase(nn.Module):
                 # wide blocks take the band conv; one shared plan per level
                 rb = attach_band_rulebook(rb)
             rbs[s + 1] = rb
+            contract += plan_contract_flags(rb)
             x = self._blocks(x, rb, train, ch, self.layers[s], block_cls,
                              f"enc{s}", first_standalone=False)
             skips.append(x)
@@ -149,9 +152,11 @@ class MinkUNetBase(nn.Module):
             if ch > 64 and not isinstance(rb, BandedRulebook):
                 rb = attach_band_rulebook(rb)
                 rbs[level] = rb
+            contract += plan_contract_flags(rb)
             x = self._blocks(x, rb, train, ch, self.layers[num_stages + s],
                              block_cls, f"dec{s}", first_standalone=True)
 
+        sow_contract(self, contract)
         if self.out_channels == 0:
             return x.features
         logits = nn.Dense(self.out_channels, name="final")(x.features)

@@ -32,6 +32,7 @@ from ...ops.spconv import (
     build_inverse_rulebook,
     derive_inner_subm_plan,
     invert_strided_rulebook,
+    plan_contract_flags,
 )
 from ...ops import hashing as _hashing
 from ...ops.scatter import segment_mean
@@ -183,6 +184,18 @@ class SpUNet(nn.Module):
     scan_blocks: bool = True  # nn.scan over same-shape blocks (compile-time win)
     slab_conv: bool = True  # slab (z-run) rulebooks: 1 gather per tap-column
 
+    def _sow_contract(self, flags):
+        """Aggregate plan contract flags into ``diagnostics/contract_ok``.
+
+        The train step surfaces it as a metric and the Trainer/bench raise
+        when it goes false — a sortedness/window violation must fail loudly,
+        never train on the zero-poisoned conv outputs."""
+        if flags:
+            ok = jnp.all(jnp.stack(flags))
+            self.sow("diagnostics", "contract_ok", ok,
+                     reduce_fn=jnp.logical_and,
+                     init_fn=lambda: jnp.asarray(True))
+
     def _build_subm(self, coords, spatial_shape, batch_size, kernel_size,
                     with_legacy=True):
         """Slab plan when the dense-grid regime applies, else legacy rulebook."""
@@ -214,6 +227,7 @@ class SpUNet(nn.Module):
         # legacy rulebook (the derived inner k3 plan builds its own)
         rb_stem = self._build_subm(st.coords, st.spatial_shape, st.batch_size,
                                    5, with_legacy=False)
+        contract = plan_contract_flags(rb_stem)
         x = unit(kind="subm", channels=self.base_channels, kernel_size=5,
                  name="stem")(st, rb_stem, train)
 
@@ -234,6 +248,7 @@ class SpUNet(nn.Module):
                 # wide blocks take the band path; share one plan per level
                 rb = attach_band_plan(rb)
             subm_rulebooks[s + 1] = rb
+            contract += plan_contract_flags(rb)
             if self.scan_blocks:
                 x = BlockStack(self.channels[s], self.layers[s], self.bn_eps,
                                self.bn_momentum, self.compute_dtype, self.remat,
@@ -247,6 +262,7 @@ class SpUNet(nn.Module):
             skips.append(x)
 
         if self.cls_mode:
+            self._sow_contract(contract)
             # global mean pool over valid voxels per scene -> classifier
             pooled = segment_mean(x.features, x.coords[:, 0], x.batch_size)
             return nn.Dense(self.num_classes, name="final")(pooled)
@@ -288,6 +304,7 @@ class SpUNet(nn.Module):
                     and rb.band is None):
                 rb = attach_band_plan(rb)
                 subm_rulebooks[level] = rb
+            contract += plan_contract_flags(rb)
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:
                 # first block changes width (skip concat -> dec channels): run
@@ -307,6 +324,7 @@ class SpUNet(nn.Module):
                         x, rb, train
                     )
 
+        self._sow_contract(contract)
         if self.num_classes == 0:
             # backbone mode: raw per-voxel features (reference num_classes=0
             # makes the final layer identity, spconv_unet_v1m1_base.py)

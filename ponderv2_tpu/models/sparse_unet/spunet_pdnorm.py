@@ -23,11 +23,12 @@ from ...ops.spconv import (
     build_strided_plan,
     build_subm_rulebook,
     invert_strided_rulebook,
+    plan_contract_flags,
 )
 from ...ops.scatter import segment_mean
 from ..builder import MODELS
 from ..norm import PDBatchNorm
-from .layers import InverseConv, StridedConv, SubMConv
+from .layers import InverseConv, StridedConv, SubMConv, sow_contract
 from .spunet import capacity_schedule
 
 
@@ -193,6 +194,7 @@ class SpUNetPDNorm(nn.Module):
         )
 
         rb_stem = build_subm_rulebook(st.coords, st.spatial_shape, st.batch_size, 5)
+        contract = plan_contract_flags(rb_stem)
         x = SubMConv(self.base_channels, 5, compute_dtype=self.compute_dtype,
                      name="stem_conv")(st, rb_stem)
         h = norm(features=self.base_channels, name="stem_bn")(
@@ -220,6 +222,7 @@ class SpUNetPDNorm(nn.Module):
                 # (an inline build would re-run per scanned block)
                 rb = attach_band_rulebook(rb)
             subm_rulebooks[s + 1] = rb
+            contract += plan_contract_flags(rb)
             if self.scan_blocks:
                 x = stack(channels=self.channels[s], num_blocks=self.layers[s],
                           name=f"enc{s}_blocks")(x, rb, train, condition_idx,
@@ -232,6 +235,7 @@ class SpUNetPDNorm(nn.Module):
             skips.append(x)
 
         if self.cls_mode:
+            sow_contract(self, contract)
             pooled = segment_mean(x.features, x.coords[:, 0], x.batch_size)
             if self.num_classes > 0:
                 return nn.Dense(self.num_classes, name="final")(pooled)
@@ -262,6 +266,7 @@ class SpUNetPDNorm(nn.Module):
             if dec_channels > 64 and not isinstance(rb, BandedRulebook):
                 rb = attach_band_rulebook(rb)
                 subm_rulebooks[level] = rb
+            contract += plan_contract_flags(rb)
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:
                 # first block changes width (skip concat): run it standalone
@@ -278,6 +283,7 @@ class SpUNetPDNorm(nn.Module):
                         x, rb, train, condition_idx, context
                     )
 
+        sow_contract(self, contract)
         if self.num_classes > 0:
             logits = nn.Dense(self.num_classes, name="final")(x.features)
             return jnp.where(x.mask[:, None], logits, 0.0)

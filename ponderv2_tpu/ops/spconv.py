@@ -410,6 +410,25 @@ def attach_band_rulebook(legacy: jnp.ndarray) -> "BandedRulebook":
     return BandedRulebook(legacy, build_band_plan(legacy, 3))
 
 
+def plan_contract_flags(rb) -> list:
+    """The loud-failure contract flags a rulebook/plan carries.
+
+    ``SubmPlan.sorted_ok`` (rows key-sorted; violation zero-poisons the slab
+    encoding) and ``BandPlan.ok`` (window spans fit; violation gates the band
+    conv output to zero). Models aggregate these into a ``diagnostics/
+    contract_ok`` sown flag so a violating config fails loudly in the trainer
+    instead of silently training on zeros (round-3 verdict weak #3)."""
+    flags = []
+    if isinstance(rb, SubmPlan):
+        flags.append(rb.sorted_ok)
+        if rb.band is not None:
+            flags.append(rb.band.ok)
+    elif isinstance(rb, BandedRulebook):
+        if rb.band is not None:
+            flags.append(rb.band.ok)
+    return flags
+
+
 def _doubled_pack(features: jnp.ndarray, pack: int, dtype) -> jnp.ndarray:
     """(N, C) -> (np + 1, 2*pack*C): row i holds voxel rows
     [pack*i, pack*i + 2*pack), zero-padded past N; last row all-zero."""

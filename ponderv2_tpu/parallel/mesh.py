@@ -100,11 +100,14 @@ def make_sharded_train_step(
                 variables["constants"] = state.constants
             with bn_sync_axis(axis_name if sync_bn else None):
                 out, mutated = model.apply(
-                    variables, input_dict, train=True, mutable=["batch_stats"]
+                    variables, input_dict, train=True,
+                    mutable=["batch_stats", "diagnostics"],
                 )
-            return out[loss_key], (out, mutated["batch_stats"])
+            return out[loss_key], (
+                out, mutated["batch_stats"], mutated.get("diagnostics", {})
+            )
 
-        (loss, (out, batch_stats)), grads = jax.value_and_grad(
+        (loss, (out, batch_stats, diags)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         # DDP-equivalent gradient allreduce + stat sync, riding ICI
@@ -120,6 +123,12 @@ def make_sharded_train_step(
             opt_state=opt_state,
         )
         metrics = {"loss": loss, "lr": schedule(state.step)}
+        flags = jax.tree.leaves(diags)
+        if flags:
+            # min over devices: 1.0 iff every plan contract held everywhere
+            metrics["contract_ok"] = jax.lax.pmin(
+                jnp.all(jnp.stack(flags)).astype(jnp.float32), axis_name
+            )
         for k in metric_keys:
             if k in out:
                 metrics[k] = jax.lax.pmean(out[k], axis_name)
