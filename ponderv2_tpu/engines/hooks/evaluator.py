@@ -21,6 +21,29 @@ from .builder import HOOKS
 from .default import HookBase
 
 
+def _category_split_masks(names):
+    """Boolean masks over ``names`` for the ScanNet200 head/common/tail splits
+    (benchmark-defined frequency split; see
+    datasets/preprocessing/scannet200_splits.py). Returns () when no name
+    falls in any split — e.g. 20-class ScanNet or numeric placeholder names."""
+    from ...datasets.preprocessing.scannet200_splits import (
+        COMMON_CATS_SCANNET_200, HEAD_CATS_SCANNET_200, TAIL_CATS_SCANNET_200,
+    )
+
+    names = [str(n) for n in names]
+    masks = []
+    for split, cats in (
+        ("head", HEAD_CATS_SCANNET_200),
+        ("common", COMMON_CATS_SCANNET_200),
+        ("tail", TAIL_CATS_SCANNET_200),
+    ):
+        cat_set = set(cats)
+        masks.append((split, np.asarray([n in cat_set for n in names])))
+    if not any(m.any() for _, m in masks):
+        return ()
+    return tuple(masks)
+
+
 @HOOKS.register_module()
 class SemSegEvaluator(HookBase):
     def __init__(self, write_cls_iou: bool = False):
@@ -99,17 +122,28 @@ class SemSegEvaluator(HookBase):
         logger.info(
             f"Val result: mIoU/mAcc/allAcc {m_iou:.4f}/{m_acc:.4f}/{all_acc:.4f}"
         )
+        names = self.trainer.cfg.data.get("names", list(range(num_classes)))
         if self.write_cls_iou:
-            names = self.trainer.cfg.data.get("names", list(range(num_classes)))
             for c in range(num_classes):
                 logger.info(
                     f"Class_{c}-{names[c]} Result: iou/accuracy "
                     f"{iou_class[c]:.4f}/{acc_class[c]:.4f}"
                 )
+        # ScanNet200 protocol: report per-frequency-split mIoU when the class
+        # list matches the head/common/tail tables (no-op for other datasets)
+        split_metrics = {}
+        if len(names) == num_classes:
+            for split, mask in _category_split_masks(names):
+                if mask.any():
+                    split_metrics[split] = float(np.mean(iou_class[mask]))
+        for split, v in split_metrics.items():
+            logger.info(f"Val result ({split}): mIoU {v:.4f}")
         storage = trainer.storage
         storage.put_scalar("val/mIoU", m_iou, smoothing_hint=False)
         storage.put_scalar("val/mAcc", m_acc, smoothing_hint=False)
         storage.put_scalar("val/allAcc", all_acc, smoothing_hint=False)
+        for split, v in split_metrics.items():
+            storage.put_scalar(f"val/mIoU_{split}", v, smoothing_hint=False)
         if losses:
             storage.put_scalar("val/loss", float(np.mean(losses)), smoothing_hint=False)
         trainer.comm_info["current_metric_value"] = m_iou

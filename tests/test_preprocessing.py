@@ -398,3 +398,84 @@ class TestNuScenesTransformMath:
             quaternion_yaw,
         )
         assert abs(quaternion_yaw(boxes[1]["orientation"]) - np.pi / 2) < 1e-9
+
+
+class TestS3DISVoxelized:
+    """Offline-voxelized S3DIS variant (reference
+    preprocess_s3dis_voxelized.py:22-60)."""
+
+    def test_voxelize_room_shrinks_and_keeps_keys(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(0)
+        src = tmp_path / "in" / "Area_1"
+        src.mkdir(parents=True)
+        n = 5000
+        coord = rng.rand(n, 3).astype(np.float32) * 2.0
+        data = dict(
+            coord=coord,
+            color=rng.randint(0, 255, (n, 3)).astype(np.float32),
+            semantic_gt=rng.randint(0, 13, (n,)).astype(np.int64),
+            instance_gt=rng.randint(0, 5, (n,)).astype(np.int64),
+        )
+        torch.save(data, src / "office_1.pth")
+
+        from ponderv2_tpu.datasets.preprocessing.preprocess_s3dis_voxelized import (
+            voxelize_room,
+        )
+
+        out = voxelize_room(
+            str(src / "office_1.pth"), str(tmp_path / "in"),
+            str(tmp_path / "out"), voxel_size=0.25,
+        )
+        vox = torch.load(out, weights_only=False)
+        assert set(vox.keys()) >= {"coord", "color", "semantic_gt",
+                                   "instance_gt"}
+        m = vox["coord"].shape[0]
+        # one survivor per 0.25m voxel over a 2m cube: strictly fewer points,
+        # all arrays subsampled consistently
+        assert 0 < m < n
+        for k in ("color", "semantic_gt", "instance_gt"):
+            assert vox[k].shape[0] == m
+        # voxel uniqueness: no two surviving points share a voxel
+        vids = np.unique(np.floor(vox["coord"] / 0.25).astype(int), axis=0)
+        assert vids.shape[0] == m
+
+    def test_main_process_cli(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        src = tmp_path / "in" / "Area_2"
+        src.mkdir(parents=True)
+        coord = np.random.RandomState(1).rand(100, 3).astype(np.float32)
+        torch.save(dict(coord=coord), src / "hallway_1.pth")
+        from ponderv2_tpu.datasets.preprocessing.preprocess_s3dis_voxelized import (
+            main_process,
+        )
+
+        main_process([
+            "--dataset_root", str(tmp_path / "in"),
+            "--output_root", str(tmp_path / "out"),
+            "--voxel_size", "0.5", "--num_workers", "1",
+        ])
+        assert (tmp_path / "out" / "Area_2" / "hallway_1.pth").exists()
+
+
+class TestScanNet200Splits:
+    def test_split_masks_cover_scannet200(self):
+        from ponderv2_tpu.datasets.preprocessing.scannet200_constants import (
+            CLASS_LABELS_200,
+        )
+        from ponderv2_tpu.engines.hooks.evaluator import _category_split_masks
+
+        masks = dict(_category_split_masks(CLASS_LABELS_200))
+        assert set(masks) == {"head", "common", "tail"}
+        total = sum(int(m.sum()) for m in masks.values())
+        # the three splits partition the 200 categories (no overlap, no gap)
+        assert total == len(CLASS_LABELS_200) == 200
+        stacked = np.stack(list(masks.values()))
+        assert (stacked.sum(0) == 1).all()
+
+    def test_split_masks_empty_for_scannet20(self):
+        from ponderv2_tpu.engines.hooks.evaluator import _category_split_masks
+
+        # 20-class ScanNet names mostly don't appear in the 200-split tables
+        names = [f"class_{i}" for i in range(20)]
+        assert _category_split_masks(names) == ()
