@@ -126,7 +126,7 @@ def build_model_cfg():
     )
 
 
-def verify_kernels():
+def verify_kernels(arrays):
     """On-TPU exactness gate: band and slab Pallas/fused paths vs the plain
     gather conv, fwd AND bwd, at a bench-scale shape (round-3 verdict weak
     #4: the suite only checks kernels in CPU interpret mode; a wrong-but-
@@ -146,32 +146,43 @@ def verify_kernels():
         subm_conv_symmetric,
     )
 
-    shape, cap, n_valid, cin, cout = (272, 272, 96), 102_400, 95_000, 96, 96
-    rng = np.random.RandomState(0)
-    coords = np.stack([
-        rng.randint(0, 2, n_valid), rng.randint(0, shape[0], n_valid),
-        rng.randint(0, shape[1], n_valid), rng.randint(0, shape[2], n_valid),
-    ], 1)
-    coords = np.unique(coords, axis=0).astype(np.int32)
+    # the verify coords are the BENCH SCENES' OWN enc2-level voxels: two
+    # stride-2 levels compose to unique(grid // 4), so this is exactly the
+    # clustered surface data whose block spans overflowed the static band
+    # window in round 3 (spans to 964 vs the 384 window) — uniform random
+    # coords have tight spans and never exercise the overflow residual
+    cap, cin, cout = 102_400, 96, 96
+    shape = (136, 136, 48)  # (544, 544, 192) // 4
+    g = np.asarray(arrays["grid_coord"])
+    b = np.asarray(arrays["batch"])
+    live = b >= 0
+    coords = np.unique(
+        np.concatenate([b[live, None], g[live] // 4], axis=1), axis=0
+    ).astype(np.int32)[:cap]
+    nb = int(coords[:, 0].max()) + 1
     coords = np.concatenate(
         [coords, np.full((cap - len(coords), 4), -1, np.int32)])
     coords = jnp.asarray(coords)
     key = jax.random.PRNGKey(0)
     feats = jax.random.normal(key, (cap, cin), jnp.float32)
-    st = make_sparse_tensor(feats, coords, shape, 2)
+    st = make_sparse_tensor(feats, coords, shape, nb)
     st, _ = sort_by_key(st)
     coords, feats = st.coords, st.features
     w = jax.random.normal(key, (27, cin, cout), jnp.float32) * 0.05
     token = jnp.zeros((0,), jnp.bfloat16)
 
-    rb = jax.jit(lambda c: build_subm_rulebook(c, shape, 2, 3))(coords)
+    rb = jax.jit(lambda c: build_subm_rulebook(c, shape, nb, 3))(coords)
     plan = jax.jit(lambda r: build_band_plan(r, 3))(rb)
-    sp = jax.jit(lambda c: build_subm_plan(c, shape, 2, 3))(coords)
+    sp = jax.jit(lambda c: build_subm_plan(c, shape, nb, 3))(coords)
     if not bool(plan.ok) or not bool(sp.sorted_ok):
         raise RuntimeError(
             f"BENCH_VERIFY: plan contracts failed (band ok={bool(plan.ok)}, "
             f"sorted_ok={bool(sp.sorted_ok)})"
         )
+    n_ovf = int((plan.ov_i >= 0).sum())
+    if n_ovf == 0:
+        print("BENCH_VERIFY warning: 0 overflow entries — the band residual "
+              "path is NOT being exercised", file=sys.stderr, flush=True)
     cfg_band = (3, BLOCK, WINDOW)
     cfg_slab = (3, 3, 3, slab_pack(3, cin))
 
@@ -210,7 +221,8 @@ def verify_kernels():
                 f"gather (rel errs loss/dx/dw = {errs})"
             )
     print(
-        "BENCH_VERIFY ok: " + "; ".join(
+        f"BENCH_VERIFY ok (clustered coords, {n_ovf} band overflow entries): "
+        + "; ".join(
             f"{n} rel errs loss/dx/dw = {e[0]:.1e}/{e[1]:.1e}/{e[2]:.1e}"
             for n, e in checks
         ),
@@ -227,9 +239,6 @@ def main():
     from ponderv2_tpu.utils.optimizer import build_optimizer
     from ponderv2_tpu.utils.scheduler import build_scheduler
 
-    if os.environ.get("BENCH_VERIFY", "1") == "1":
-        verify_kernels()
-
     batch_size = int(os.environ.get("BENCH_BS", "2"))
     points_per_scene = int(os.environ.get("BENCH_POINTS", "100000"))
     # ScanNet extents at 0.02 m + slack (reference: max grid_coord + 96);
@@ -238,6 +247,9 @@ def main():
     spatial_shape = (544, 544, 192)
 
     arrays = build_workload(batch_size, points_per_scene)
+
+    if os.environ.get("BENCH_VERIFY", "1") == "1":
+        verify_kernels(arrays)
     static_ctx = dict(spatial_shape=spatial_shape, batch_size=batch_size)
     model = build_model(build_model_cfg())
 

@@ -590,17 +590,61 @@ class TestBandConv:
         np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_window_overflow_gates_to_zero(self, rng):
-        """A window too small for some block's span must zero the output
-        (loud failure contract), never produce silently wrong taps."""
+    def test_window_overflow_exact_via_residual(self, rng):
+        """Blocks whose span exceeds the window stay EXACT: the out-of-window
+        tail entries are compacted into the plan's budgeted overflow list and
+        applied as a residual (fwd AND both grads)."""
+        import jax
+
+        from ponderv2_tpu.ops.band_conv import band_subm_conv, build_band_plan
+        from ponderv2_tpu.ops.spconv import apply_sparse_conv
+
+        kernel = 3
+        st, rb, weights = self._scene(rng, kernel, n=200, shape=(12, 12, 12))
+        block, window = 32, 8  # spans of up to 32 rows overflow an 8-row window
+        plan = build_band_plan(rb, kernel, block=block, window=window)
+        assert bool(plan.ok)
+        assert int((plan.ov_i >= 0).sum()) > 0  # the tail is non-empty
+        token = jnp.zeros((0,), jnp.float32)
+
+        def loss_band(f, w):
+            out = band_subm_conv((kernel, block, window), f, plan,
+                                 w, st.mask, token)
+            return jnp.sum(out * out)
+
+        def loss_plain(f, w):
+            return jnp.sum(apply_sparse_conv(f, rb, w, st.mask) ** 2)
+
+        out = band_subm_conv((kernel, block, window), st.features, plan,
+                             weights, st.mask, token)
+        ref = apply_sparse_conv(st.features, rb, weights, st.mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        gf_b, gw_b = jax.grad(loss_band, argnums=(0, 1))(st.features, weights)
+        gf_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(st.features, weights)
+        np.testing.assert_allclose(np.asarray(gf_b), np.asarray(gf_p),
+                                   rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
+                                   rtol=1e-4, atol=2e-4)
+
+    def test_budget_overflow_gates_to_zero(self, rng):
+        """When the overflow budgets themselves are exceeded the conv output
+        must be zero (loud failure contract), never silently wrong taps."""
         from ponderv2_tpu.ops.band_conv import band_subm_conv, build_band_plan
 
         kernel = 3
         st, rb, weights = self._scene(rng, kernel, n=200, shape=(12, 12, 12))
-        block, window = 32, 8  # span of 32 rows cannot fit an 8-row window
-        plan = build_band_plan(rb, kernel, block=block, window=window)
+        block, window = 32, 8
+        plan = build_band_plan(rb, kernel, block=block, window=window,
+                               pair_budget=0)
         assert not bool(plan.ok)
         token = jnp.zeros((0,), jnp.float32)
         out = band_subm_conv((kernel, block, window), st.features, plan,
                              weights, st.mask, token)
         assert float(jnp.abs(out).sum()) == 0.0
+        plan2 = build_band_plan(rb, kernel, block=block, window=window,
+                                entry_budget=1)
+        assert not bool(plan2.ok)
+        out2 = band_subm_conv((kernel, block, window), st.features, plan2,
+                              weights, st.mask, token)
+        assert float(jnp.abs(out2).sum()) == 0.0
