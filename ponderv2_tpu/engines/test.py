@@ -189,6 +189,7 @@ class SemSegTester(TesterBase):
 
         # gather across hosts
         gathered = comm.gather(records, dst=0)
+        metrics = None
         if comm.is_main_process():
             merged = {}
             for r in gathered:
@@ -212,7 +213,10 @@ class SemSegTester(TesterBase):
                     f"Class_{c} - {names[c]} Result: iou/accuracy "
                     f"{iou_class[c]:.4f}/{acc_class[c]:.4f}"
                 )
+            metrics = dict(m_iou=m_iou, m_acc=m_acc, all_acc=all_acc,
+                           iou_class=iou_class)
         logger.info("<<<<<<<<<<<<<<<<< End Testing <<<<<<<<<<<<<<<<<")
+        return metrics
 
     def write_submission(self, name: str, pred: np.ndarray, save_path: str):
         """Per-dataset submission writers (reference test.py:252-288)."""

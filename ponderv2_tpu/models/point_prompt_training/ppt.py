@@ -71,7 +71,10 @@ class PointPromptTraining(nn.Module):
         if isinstance(cond, (list, tuple)):
             cond = cond[0]
         ci = self.conditions.index(cond) if cond in self.conditions else 0
-        context = self.context_embedding(jnp.asarray(ci))
+        # (1,)-shaped lookup: flax Embed's num_embeddings==1 fast path
+        # broadcasts instead of gathering and breaks on scalar indices,
+        # so single-condition models need a leading axis
+        context = self.context_embedding(jnp.asarray([ci]))[0]
 
         st = batch_to_sparse_tensor(input_dict)
         from ...ops.sparse import maybe_sort_by_key
@@ -133,7 +136,10 @@ class PointPromptTrainingDecoupled(nn.Module):
         if isinstance(cond, (list, tuple)):
             cond = cond[0]
         ci = self.conditions.index(cond) if cond in self.conditions else 0
-        context = self.context_embedding(jnp.asarray(ci))
+        # (1,)-shaped lookup: flax Embed's num_embeddings==1 fast path
+        # broadcasts instead of gathering and breaks on scalar indices,
+        # so single-condition models need a leading axis
+        context = self.context_embedding(jnp.asarray([ci]))[0]
         st = batch_to_sparse_tensor(input_dict)
         feat = self.backbone_net(st, train=train, condition=cond, context=context)
         seg_logits = self.seg_heads[ci](feat)
