@@ -60,6 +60,10 @@ def vocabularies():
         "scannet200": tuple(CLASS_LABELS_200),
         "nuscenes16": NUSCENES16,
         "ppt36": tuple(PPT_CLASS_NAMES),
+        # the driver multichip dryrun's synthetic vocabulary
+        # (__graft_entry__._MODEL_CFG); a committed stub keeps the dryrun
+        # from logging the CLIP-fallback warning
+        "synthetic8": tuple(f"class_{i}" for i in range(8)),
     }
 
 
