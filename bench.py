@@ -88,6 +88,15 @@ def build_model_cfg():
             num_classes=0,
             channels=(32, 64, 128, 256, 256, 128, 96, 96),
             layers=(2, 3, 4, 6, 2, 2, 2, 2),
+            # per-level voxel budgets sized to the workload with >=1.5x
+            # margin (measured occupancy at bs2/100k pts: 163.7k / 89.8k /
+            # 26.9k / 6.9k / 1.5k). The default /2 schedule leaves L2-L4
+            # 2-8x oversized, and band/slab conv cost scales with CAPACITY
+            # (padded blocks), not occupancy.
+            capacities=tuple(
+                c * int(os.environ.get("BENCH_BS", "2"))
+                for c in (102400, 51200, 20480, 5120, 1280)
+            ),
             compute_dtype=jnp.bfloat16,
             # remat recomputes every conv's gathers in the backward; off by
             # default since the custom-VJP conv residuals fit HBM at bs2
