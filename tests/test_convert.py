@@ -1,9 +1,15 @@
 """Torch-checkpoint converter: structural round-trip against our SpUNet tree."""
 
+import os
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from convert_torch_checkpoint import graft_variables  # noqa: E402
 
 pytestmark = pytest.mark.slow  # heavy jit compiles; smoke tier skips
 
@@ -72,7 +78,6 @@ class TestConverter:
 
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
         from convert_torch_checkpoint import convert_spunet_v1m1
-        import flax.serialization
 
         from ponderv2_tpu.models import build_model
         from ponderv2_tpu.ops.sparse import make_sparse_tensor
@@ -99,7 +104,7 @@ class TestConverter:
 
         # graft converted weights onto the model tree — structure must line up
         target = jax.device_get(variables)
-        restored = flax.serialization.from_state_dict(
+        restored = graft_variables(
             target, {"params": params, "batch_stats": stats}
         )
         # every leaf shape must match
@@ -211,7 +216,6 @@ class TestGoldenForward:
 
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
         from convert_torch_checkpoint import convert_spunet_v1m1
-        import flax.serialization
 
         from ponderv2_tpu.models import build_model
         from ponderv2_tpu.ops.sparse import make_sparse_tensor, sort_by_key
@@ -262,7 +266,7 @@ class TestGoldenForward:
                                 grid, 2)
         st_sorted, inverse = sort_by_key(st)
         variables = model.init(jax.random.PRNGKey(0), st_sorted, train=False)
-        restored = flax.serialization.from_state_dict(
+        restored = graft_variables(
             jax.device_get(variables),
             {"params": params, "batch_stats": stats},
         )
@@ -356,7 +360,6 @@ class TestV1m3Converter:
         return channels, layers, params, stats
 
     def test_structure_matches_model_and_runs(self, rng):
-        import flax.serialization
 
         from ponderv2_tpu.models import build_model
         from ponderv2_tpu.ops.sparse import make_sparse_tensor
@@ -380,7 +383,7 @@ class TestV1m3Converter:
         variables = model.init(jax.random.PRNGKey(0), st, train=False,
                                condition="ScanNet", context=ctx)
         target = jax.device_get(variables)
-        restored = flax.serialization.from_state_dict(
+        restored = graft_variables(
             target, {"params": params, "batch_stats": stats}
         )
         for (p1, a), (p2, b) in zip(
@@ -405,7 +408,6 @@ class TestPPTConverter:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                         "tools"))
         from convert_torch_checkpoint import convert_ppt_v1m1
-        import flax.serialization
 
         from ponderv2_tpu.models import build_model
 
@@ -465,7 +467,7 @@ class TestPPTConverter:
         )
         variables = model.init(jax.random.PRNGKey(0), batch_dict, train=False)
         target = jax.device_get(variables)
-        restored = flax.serialization.from_state_dict(
+        restored = graft_variables(
             target,
             {"params": params, "batch_stats": stats, "constants": constants},
         )
@@ -546,7 +548,6 @@ class TestUNet3Dv1m2Converter:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                         "tools"))
         import torch
-        import flax.serialization
         from convert_torch_checkpoint import convert_unet3d_v1m2
 
         from ponderv2_tpu.models import build_model
@@ -590,7 +591,7 @@ class TestUNet3Dv1m2Converter:
         x = rng.randn(2, in_ch, 8, 8, 8).astype(np.float32)
         variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
                                train=False)
-        restored = flax.serialization.from_state_dict(
+        restored = graft_variables(
             jax.device_get(variables),
             {"params": params, "batch_stats": stats},
         )
@@ -606,7 +607,6 @@ class TestPonderIndoorConverter:
 
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                         "tools"))
-        import flax.serialization
         from convert_torch_checkpoint import convert_ponder_indoor
 
         from ponderv2_tpu.datasets import build_dataset
@@ -741,7 +741,7 @@ class TestPonderIndoorConverter:
         }
         variables = model.init(jax.random.PRNGKey(0), input_dict, train=False)
         target = jax.device_get(variables)
-        restored = flax.serialization.from_state_dict(
+        restored = graft_variables(
             target,
             {"params": params, "batch_stats": stats, "constants": constants},
         )

@@ -26,6 +26,30 @@ from typing import Dict
 
 import numpy as np
 
+# Collections sown per-forward (kernel-contract flags etc.) — never part of
+# the checkpoint contract. The reference checkpoint carries only learnable
+# state + running stats (ponder/engines/hooks/misc.py:208-253); our analog is
+# params / batch_stats / constants.
+TRANSIENT_COLLECTIONS = ("diagnostics", "intermediates")
+
+
+def graft_variables(variables, converted):
+    """Graft converted persistent collections onto a ``model.init`` tree.
+
+    ``variables`` is the full tree from ``model.init`` (which may include
+    transient collections like ``diagnostics``); ``converted`` maps
+    collection name -> state dict for the persistent collections present in
+    the checkpoint. Each named collection is restored structurally; every
+    other collection (including transients) is carried over untouched.
+    """
+    import flax.serialization
+
+    restored = dict(variables)
+    for name, state in converted.items():
+        restored[name] = flax.serialization.from_state_dict(
+            variables[name], state)
+    return restored
+
 
 def load_torch_state(path: str, prefix: str) -> Dict[str, np.ndarray]:
     import torch
