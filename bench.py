@@ -260,7 +260,36 @@ def main():
     if os.environ.get("BENCH_VERIFY", "1") == "1":
         verify_kernels(arrays)
     static_ctx = dict(spatial_shape=spatial_shape, batch_size=batch_size)
-    model = build_model(build_model_cfg())
+    cfg = build_model_cfg()
+    model = build_model(cfg)
+
+    if os.environ.get("BENCH_HOST_PLANS", "1") == "1":
+        # conv plans prefetched on the host (input-pipeline role): builds are
+        # pure integer functions of the sorted coords, so the dataloader can
+        # compute them overlapped with device compute instead of paying
+        # ~70 ms/step on the device (probe_plan_cost.py). Host build time is
+        # reported; at N dataloader workers it amortizes to t/N per step.
+        import sys
+
+        from ponderv2_tpu.models.sparse_unet.plans import (
+            host_build_spunet_plans,
+        )
+
+        bk = cfg["backbone"]
+        t0 = time.perf_counter()
+        plans = host_build_spunet_plans(
+            arrays["grid_coord"], arrays["batch"], spatial_shape, batch_size,
+            bk["capacities"], bk["channels"])
+        t_trace = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        plans = host_build_spunet_plans(
+            arrays["grid_coord"], arrays["batch"], spatial_shape, batch_size,
+            bk["capacities"], bk["channels"])
+        t_host = time.perf_counter() - t0
+        print(f"BENCH host plan build: {t_host*1e3:.1f} ms/batch "
+              f"(first incl. trace {t_trace:.1f} s)", file=sys.stderr,
+              flush=True)
+        arrays = {**arrays, "spunet_plans": jax.tree.map(jnp.asarray, plans)}
 
     init_fn = jax.jit(
         lambda rng, arr: model.init(

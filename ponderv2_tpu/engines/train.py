@@ -223,6 +223,24 @@ class Trainer(TrainerBase):
         self.train_loader = self.build_train_loader()
         self.val_loader = self.build_val_loader()
 
+        # host-side SpUNet plan prefetch (engines/plan_prefetch.py): build the
+        # next batch's conv plans on a background thread, overlapped with the
+        # device step. Single-shard only — sharded batches carry a leading
+        # device axis the host builder doesn't split.
+        if cfg.get("host_plans", True) and self.num_devices == 1:
+            from .plan_prefetch import (
+                PlanPrefetchLoader, plan_cfg_from_model_cfg,
+            )
+
+            plan_cfg = plan_cfg_from_model_cfg(
+                dict(cfg.model), self.build_static_ctx()
+            )
+            if plan_cfg is not None:
+                self.train_loader = PlanPrefetchLoader(
+                    self.train_loader, plan_cfg
+                )
+                self.logger.info("=> Host plan prefetch enabled")
+
         total_steps = len(self.train_loader) * self.max_epoch
         self.logger.info(f"=> Total steps: {total_steps}")
         self.schedule = build_scheduler(dict(cfg.scheduler), total_steps)
@@ -241,7 +259,7 @@ class Trainer(TrainerBase):
         )
         variables = init_fn(
             jax.random.PRNGKey(cfg.get("seed", 0)),
-            {k: jnp.asarray(v) for k, v in arrays.items()},
+            jax.tree.map(jnp.asarray, arrays),
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -345,7 +363,7 @@ class Trainer(TrainerBase):
 
             arrays = shard_batch(arrays, self.mesh)
         else:
-            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            arrays = jax.tree.map(jnp.asarray, arrays)
         self.state, metrics = self.train_step(self.state, arrays)
         self.comm_info["metrics"] = metrics
 

@@ -277,7 +277,15 @@ class PonderIndoor(nn.Module):
         from ...ops.sparse import maybe_sort_by_key
 
         st_sorted, inverse = maybe_sort_by_key(st, self.assume_sorted)
-        sparse_feat = self.backbone_net(st_sorted, train=train)  # (N, C)
+        # optional host-precomputed conv plans (models/sparse_unet/plans.py):
+        # only valid when rows are pipeline-sorted (assume_sorted) so the
+        # host and device see the same row order
+        plans = input_dict.get("spunet_plans") if self.assume_sorted else None
+        if plans is not None:
+            sparse_feat = self.backbone_net(st_sorted, train=train,
+                                            plans=plans)
+        else:
+            sparse_feat = self.backbone_net(st_sorted, train=train)  # (N, C)
         if inverse is not None:
             sparse_feat = sparse_feat[inverse]
 

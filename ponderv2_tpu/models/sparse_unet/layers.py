@@ -18,9 +18,11 @@ from ...ops.spconv import (
     build_inverse_rulebook,
     build_strided_plan,
     build_subm_rulebook,
+    inverse_conv_packed,
     kernel_offsets,
     slab_pack,
     sparse_conv_gathered,
+    strided_conv_packed,
     subm_conv_slab,
     subm_conv_symmetric,
     use_windowed_gather,
@@ -153,7 +155,17 @@ class StridedConv(nn.Module):
                 self.out_capacity or st.capacity,
             )
         mask = plan.out_coords[:, 0] >= 0
-        out = _apply_conv(st.features, plan.rulebook, w, mask, self.compute_dtype)
+        if plan.parent is not None:
+            # input-major k==s form: one N_in scatter instead of K^3 x N_out
+            # gathers (ops.spconv.strided_conv_packed)
+            out = strided_conv_packed(
+                st.features, plan.parent, plan.tap, w,
+                plan.out_coords.shape[0], mask, self.compute_dtype,
+            )
+        else:
+            out = _apply_conv(
+                st.features, plan.rulebook, w, mask, self.compute_dtype
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(mask[:, None], out + b, 0.0)
@@ -177,10 +189,28 @@ class InverseConv(nn.Module):
         fine_coords: jnp.ndarray,
         fine_spatial_shape: Tuple[int, int, int],
         rulebook: Optional[jnp.ndarray] = None,
+        parent: Optional[jnp.ndarray] = None,
+        tap: Optional[jnp.ndarray] = None,
     ) -> SparseTensor:
         k3 = len(kernel_offsets(self.kernel_size))
         cin = st.num_features
         w = self.param("kernel", _kernel_init(k3, cin), (k3, cin, self.out_channels))
+        mask = fine_coords[:, 0] >= 0
+        if parent is not None:
+            # indice_key reuse, input-major: the downsample plan's
+            # parent/tap arrays ARE the inverse conv's pairing — one
+            # N_fine gather instead of K^3 x N_fine (7/8 inactive)
+            out = inverse_conv_packed(
+                st.features, parent, tap, w, mask, self.compute_dtype
+            )
+            if self.use_bias:
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.out_channels,)
+                )
+                out = jnp.where(mask[:, None], out + b, 0.0)
+            return make_sparse_tensor(
+                out, fine_coords, fine_spatial_shape, st.batch_size
+            )
         if rulebook is None:
             rulebook = build_inverse_rulebook(
                 st.coords,
@@ -191,7 +221,6 @@ class InverseConv(nn.Module):
                 self.stride,
                 self.padding,
             )
-        mask = fine_coords[:, 0] >= 0
         out = _apply_conv(st.features, rulebook, w, mask, self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))

@@ -111,12 +111,12 @@ class MinkUNetBase(nn.Module):
 
         skips = [x]
         rbs = [None] * (num_stages + 1)
-        down_rulebooks = [None] * num_stages  # kept: decoder inverts them
+        down_plans = [None] * num_stages  # kept: decoder reuses the pairing
         for s in range(num_stages):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
-            down_rulebooks[s] = plan.rulebook
+            down_plans[s] = plan
             ch = self.planes[s] * expansion
             x = StridedConv(ch, 2, 2, 0, compute_dtype=self.compute_dtype,
                             name=f"down{s}")(x, plan)
@@ -135,12 +135,15 @@ class MinkUNetBase(nn.Module):
         for s in range(num_stages):
             ch = self.planes[num_stages + s] * expansion
             skip = skips[num_stages - 1 - s]
-            # indice_key reuse: invert the encoder's down rulebook (no lookups)
-            rb_inv = invert_strided_rulebook(
-                down_rulebooks[num_stages - 1 - s], skip.capacity
-            )
+            # indice_key reuse: the inverse conv transposes the encoder's
+            # down conv — packed parent/tap when available, else invert the
+            # rulebook by scatter (no lookups either way)
+            down = down_plans[num_stages - 1 - s]
+            rb_inv = (None if down.parent is not None else
+                      invert_strided_rulebook(down.rulebook, skip.capacity))
             x = InverseConv(ch, 2, 2, 0, compute_dtype=self.compute_dtype,
-                            name=f"up{s}")(x, skip.coords, skip.spatial_shape, rb_inv)
+                            name=f"up{s}")(x, skip.coords, skip.spatial_shape,
+                                           rb_inv, down.parent, down.tap)
             h = nn.relu(bn(ch, name=f"up{s}_bn")(x.features, x.mask, train))
             feats = jnp.concatenate([h, skip.features], axis=1)
             x = x.replace(features=jnp.where(x.mask[:, None], feats, 0.0))

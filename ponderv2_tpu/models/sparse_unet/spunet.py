@@ -24,17 +24,11 @@ import jax.numpy as jnp
 
 from ...ops.sparse import SparseTensor
 from ...ops.spconv import (
-    SubmPlan,
-    attach_band_plan,
     build_strided_plan,
-    build_subm_plan,
     build_subm_rulebook,
-    build_inverse_rulebook,
-    derive_inner_subm_plan,
     invert_strided_rulebook,
     plan_contract_flags,
 )
-from ...ops import hashing as _hashing
 from ...ops.scatter import segment_mean
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm
@@ -101,15 +95,16 @@ class ConvBNRelu(nn.Module):
         elif self.kind == "strided":
             from ...ops.spconv import StridedPlan
 
-            out_coords, rb = aux
-            plan = StridedPlan(out_coords, rb, self.out_spatial_shape)
+            out_coords, rb, parent, tap = aux
+            plan = StridedPlan(out_coords, rb, self.out_spatial_shape,
+                               parent, tap)
             x = StridedConv(self.channels, 2, 2, 0,
                             compute_dtype=self.compute_dtype, name="conv")(st, plan)
         else:
-            fine_coords, rb = aux
+            fine_coords, rb, parent, tap = aux
             x = InverseConv(self.channels, 2, 2, 0,
                             compute_dtype=self.compute_dtype, name="conv")(
-                st, fine_coords, self.out_spatial_shape, rb
+                st, fine_coords, self.out_spatial_shape, rb, parent, tap
             )
         h = MaskedBatchNorm(self.channels, self.eps, self.momentum, name="bn")(
             x.features, x.mask, train
@@ -196,19 +191,11 @@ class SpUNet(nn.Module):
                      reduce_fn=jnp.logical_and,
                      init_fn=lambda: jnp.asarray(True))
 
-    def _build_subm(self, coords, spatial_shape, batch_size, kernel_size,
-                    with_legacy=True):
-        """Slab plan when the dense-grid regime applies, else legacy rulebook."""
-        if self.slab_conv and _hashing.dense_table_fits(
-            spatial_shape, batch_size
-        ):
-            return build_subm_plan(coords, spatial_shape, batch_size,
-                                   kernel_size, with_legacy=with_legacy)
-        return build_subm_rulebook(coords, spatial_shape, batch_size,
-                                   kernel_size)
-
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = True) -> jnp.ndarray:
+    def __call__(self, st: SparseTensor, train: bool = True,
+                 plans=None) -> jnp.ndarray:
+        from .plans import build_spunet_plans, level_spatial_shapes
+
         num_stages = len(self.layers) // 2
         block_cls = (
             nn.remat(BasicBlock, static_argnums=(3,)) if self.remat else BasicBlock
@@ -222,32 +209,29 @@ class SpUNet(nn.Module):
         unit = partial(unit_cls, eps=self.bn_eps, momentum=self.bn_momentum,
                        compute_dtype=self.compute_dtype)
 
-        # ---- stem: subm k5 (reference conv_input, indice_key="stem"); its
-        # only direct consumer is the slab-path stem conv, so skip the big
-        # legacy rulebook (the derived inner k3 plan builds its own)
-        rb_stem = self._build_subm(st.coords, st.spatial_shape, st.batch_size,
-                                   5, with_legacy=False)
+        # ---- plans: every data-dependent rulebook (stem k5, per-level k3 +
+        # band, strided, inverse) comes from ONE builder, either precomputed
+        # by the input pipeline (host prefetch — ~70 ms/step off the device
+        # timeline at bench shapes) or built inline here. Single source of
+        # truth; see plans.py.
+        if plans is None:
+            plans = build_spunet_plans(st.coords, st.spatial_shape,
+                                       st.batch_size, caps, self.channels,
+                                       slab_conv=self.slab_conv)
+        shapes = level_spatial_shapes(st.spatial_shape, num_stages)
+
+        rb_stem = plans.stem
         contract = plan_contract_flags(rb_stem)
         x = unit(kind="subm", channels=self.base_channels, kernel_size=5,
                  name="stem")(st, rb_stem, train)
 
         # ---- encoder
         skips = [x]
-        subm_rulebooks = [None] * (num_stages + 1)  # k3 rulebooks per level
-        down_rulebooks = [None] * num_stages  # kept: decoder inverts them
         for s in range(num_stages):
-            plan = build_strided_plan(
-                x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
-            )
-            down_rulebooks[s] = plan.rulebook
             x = unit(kind="strided", channels=self.channels[s],
-                     out_spatial_shape=plan.spatial_shape,
-                     name=f"down{s}")(x, (plan.out_coords, plan.rulebook), train)
-            rb = self._build_subm(x.coords, x.spatial_shape, x.batch_size, 3)
-            if self.channels[s] > 64 and isinstance(rb, SubmPlan):
-                # wide blocks take the band path; share one plan per level
-                rb = attach_band_plan(rb)
-            subm_rulebooks[s + 1] = rb
+                     out_spatial_shape=shapes[s + 1],
+                     name=f"down{s}")(x, plans.strided[s], train)
+            rb = plans.subm[s]
             contract += plan_contract_flags(rb)
             if self.scan_blocks:
                 x = BlockStack(self.channels[s], self.layers[s], self.bn_eps,
@@ -271,39 +255,22 @@ class SpUNet(nn.Module):
         for s in range(num_stages):
             dec_channels = self.channels[num_stages + s]
             skip = skips[num_stages - 1 - s]
-            # indice_key reuse: invert the encoder's down rulebook by scatter
-            rb_inv = invert_strided_rulebook(
-                down_rulebooks[num_stages - 1 - s], skip.capacity
-            )
+            # indice_key reuse: the inverse conv is the exact transpose of the
+            # encoder's down conv over the same pairing — packed parent/tap
+            # when available, else the scatter-inverted rulebook (plans.inv)
+            level = num_stages - 1 - s
+            _, _, parent, tap = plans.strided[level]
             x = unit(kind="inverse", channels=dec_channels,
                      out_spatial_shape=skip.spatial_shape, name=f"up{s}")(
-                x, (skip.coords, rb_inv), train
+                x, (skip.coords, plans.inv[s], parent, tap), train
             )
             # skip concat (reference: replace_feature(torch.cat(...)))
             feats = jnp.concatenate([x.features, skip.features], axis=1)
             feats = jnp.where(x.mask[:, None], feats, 0.0)
             x = x.replace(features=feats)
-            level = num_stages - 1 - s
-            rb = subm_rulebooks[level]
-            if rb is None:
-                # level-0 k3 rulebook = the k5 stem rulebook's inner 3x3x3
-                # taps (same coords, same table; k5 pad 2 + offset d equals
-                # k3 pad 1 + offset d-1) — a static row-select, no lookups
-                if isinstance(rb_stem, SubmPlan):
-                    rb = derive_inner_subm_plan(rb_stem, 5)
-                else:
-                    inner = [
-                        (dx * 5 + dy) * 5 + dz
-                        for dx in (1, 2, 3)
-                        for dy in (1, 2, 3)
-                        for dz in (1, 2, 3)
-                    ]
-                    rb = rb_stem[jnp.asarray(inner)]
-                subm_rulebooks[level] = rb
-            if (dec_channels > 64 and isinstance(rb, SubmPlan)
-                    and rb.band is None):
-                rb = attach_band_plan(rb)
-                subm_rulebooks[level] = rb
+            # level-0 k3 plan = the k5 stem plan's inner 3x3x3 taps (same
+            # coords, same table), derived in plans.l0
+            rb = plans.l0 if level == 0 else plans.subm[level - 1]
             contract += plan_contract_flags(rb)
             n_blocks = self.layers[num_stages + s]
             if self.scan_blocks:

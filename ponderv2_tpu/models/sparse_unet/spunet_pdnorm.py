@@ -204,12 +204,12 @@ class SpUNetPDNorm(nn.Module):
 
         skips = [x]
         subm_rulebooks = [None] * (num_stages + 1)
-        down_rulebooks = [None] * num_stages  # kept: decoder inverts them
+        down_plans = [None] * num_stages  # kept: decoder reuses the pairing
         for s in range(num_stages):
             plan = build_strided_plan(
                 x.coords, x.spatial_shape, x.batch_size, 2, 2, 0, caps[s + 1]
             )
-            down_rulebooks[s] = plan.rulebook
+            down_plans[s] = plan
             x = StridedConv(self.channels[s], 2, 2, 0,
                             compute_dtype=self.compute_dtype, name=f"down{s}")(x, plan)
             h = norm(features=self.channels[s], name=f"down{s}_bn")(
@@ -244,13 +244,16 @@ class SpUNetPDNorm(nn.Module):
         for s in range(num_stages):
             dec_channels = self.channels[num_stages + s]
             skip = skips[num_stages - 1 - s]
-            # indice_key reuse: invert the encoder's down rulebook (no lookups)
-            rb_inv = invert_strided_rulebook(
-                down_rulebooks[num_stages - 1 - s], skip.capacity
-            )
+            # indice_key reuse: the inverse conv transposes the encoder's
+            # down conv — packed parent/tap when available, else invert the
+            # rulebook by scatter (no lookups either way)
+            down = down_plans[num_stages - 1 - s]
+            rb_inv = (None if down.parent is not None else
+                      invert_strided_rulebook(down.rulebook, skip.capacity))
             x = InverseConv(dec_channels, 2, 2, 0,
                             compute_dtype=self.compute_dtype, name=f"up{s}")(
-                x, skip.coords, skip.spatial_shape, rb_inv
+                x, skip.coords, skip.spatial_shape, rb_inv,
+                down.parent, down.tap
             )
             h = norm(features=dec_channels, name=f"up{s}_bn")(
                 x.features, x.mask, train, condition_idx, context

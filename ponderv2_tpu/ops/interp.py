@@ -58,26 +58,32 @@ def grid_sample_3d(
         ty = ty * ty * (3.0 - 2.0 * ty)
         tz = tz * tz * (3.0 - 2.0 * tz)
 
-    # TPU gathers are descriptor-bound (~32M rows/s measured, regardless of
-    # row bytes), so cut the descriptor count 4x: gather channels-last rows
-    # from a volume whose rows hold the 2x2 (y, x) corner quad (concat +
-    # roll along the two fastest spatial axes) — 2 quad-row gathers per
-    # sample instead of 8 corner gathers. Wrap rows (cx = W-1 / cy = H-1)
-    # are never gathered; per-corner selection keeps padding semantics.
+    # TPU gathers are descriptor-bound (~60M rows/s on v5e regardless of row
+    # bytes), so cut the descriptor count 8x: gather channels-last rows from
+    # a volume whose rows hold the full 2x2x2 corner octet (concat + roll
+    # along the three spatial axes) — ONE 8C-row gather per sample instead
+    # of 8 corner gathers. Wrap rows (c* = size-1) are never gathered;
+    # per-corner selection keeps padding semantics. The packed copy is an
+    # 8x-volume HBM transient; degrade to the 4C (y, x) quad (2 gathers per
+    # sample) then to the 2C x-pair (4 gathers) when it would be too large.
     vol_cl = jnp.moveaxis(volume, 1, -1)  # (B, D, H, W, C)
     vol2 = jnp.concatenate(
         [vol_cl, jnp.roll(vol_cl, -1, axis=3)], axis=-1
     )  # row w = [v(w), v(w + 1)]
-    # the 4C quad copy is a 4x-volume HBM transient; fall back to plain
-    # per-corner y handling when it would be too large (e.g. batch 4+)
-    quad_bytes = 4 * volume.size * volume.dtype.itemsize
-    use_quad = quad_bytes <= int(
+    vol_bytes = volume.size * volume.dtype.itemsize
+    pack_limit = int(
         os.environ.get("PONDER_SAMPLE_QUAD_LIMIT", 2_600_000_000)
     )
+    use_pack8 = 8 * vol_bytes <= pack_limit
+    use_quad = use_pack8 or 4 * vol_bytes <= pack_limit
     if use_quad:
         vol4 = jnp.concatenate(
             [vol2, jnp.roll(vol2, -1, axis=2)], axis=-1
         )  # (B, D, H, W, 4C): quarters [y,x], [y,x+1], [y+1,x], [y+1,x+1]
+    if use_pack8:
+        vol8 = jnp.concatenate(
+            [vol4, jnp.roll(vol4, -1, axis=1)], axis=-1
+        )  # (B, D, H, W, 8C): chunk 4*dz + 2*dy + dx
 
     cx_max = max(W - 2, 0)
     cy_max = max(H - 2, 0)
@@ -148,16 +154,64 @@ def grid_sample_3d(
                 outs[(dy, dx)] = val
         return outs
 
+    cz_max = max(D - 2, 0)
+
+    def octet(ix0, iy0, iz0):
+        """All eight corners -> dict[(dz, dy, dx)] (B,M,C); ONE row gather."""
+        cx = jnp.clip(ix0, 0, cx_max).astype(jnp.int32)
+        cy = jnp.clip(iy0, 0, cy_max).astype(jnp.int32)
+        cz = jnp.clip(iz0, 0, cz_max).astype(jnp.int32)
+        row = jax.vmap(lambda v, a, b_, c_: v[a, b_, c_])(vol8, cz, cy, cx)
+        chunks = [row[..., i * C:(i + 1) * C] for i in range(8)]
+        outs = {}
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ix, iy, iz = ix0 + dx, iy0 + dy, iz0 + dz
+                    if padding_mode == "border":
+                        qx = (jnp.clip(ix, 0, W - 1) == cx + 1)
+                        qy = (jnp.clip(iy, 0, H - 1) == cy + 1)
+                        qz = (jnp.clip(iz, 0, D - 1) == cz + 1)
+                        mask_ok = None
+                    else:  # zeros
+                        mask_ok = (
+                            (ix >= 0) & (ix < W)
+                            & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
+                        )
+                        qx = (ix == cx + 1)
+                        qy = (iy == cy + 1)
+                        qz = (iz == cz + 1)
+                    hi_x = qx[:, :, None]
+                    hi_y = qy[:, :, None]
+                    hi_z = qz[:, :, None]
+
+                    def pick(lo, hi, flag):
+                        return jnp.where(flag, hi, lo)
+
+                    val = pick(
+                        pick(pick(chunks[0], chunks[1], hi_x),
+                             pick(chunks[2], chunks[3], hi_x), hi_y),
+                        pick(pick(chunks[4], chunks[5], hi_x),
+                             pick(chunks[6], chunks[7], hi_x), hi_y),
+                        hi_z,
+                    )
+                    if mask_ok is not None:
+                        val = jnp.where(mask_ok[:, :, None], val, 0.0)
+                    outs[(dz, dy, dx)] = val
+        return outs
+
     out = jnp.zeros((B, points.shape[1], C), dtype=volume.dtype)
+    vals8 = octet(x0, y0, z0) if use_pack8 else None
     for dz in (0, 1):
         wz = (1.0 - tz) if dz == 0 else tz
-        vals = quad(x0, y0, z0 + dz)
+        vals = vals8 if use_pack8 else quad(x0, y0, z0 + dz)
         for dy in (0, 1):
             wy = (1.0 - ty) if dy == 0 else ty
             for dx in (0, 1):
                 wx = (1.0 - tx) if dx == 0 else tx
                 w = (wz * wy * wx)[:, :, None]
-                out = out + w * vals[(dy, dx)]
+                v = vals[(dz, dy, dx)] if use_pack8 else vals[(dy, dx)]
+                out = out + w * v
     return jnp.swapaxes(out, 1, 2)  # (B, C, M)
 
 

@@ -381,14 +381,21 @@ def derive_inner_subm_plan(plan: SubmPlan, outer_kernel: int = 5) -> SubmPlan:
     return SubmPlan(r0, selp, legacy, plan.sorted_ok)
 
 
-def attach_band_plan(plan: SubmPlan) -> SubmPlan:
+def attach_band_plan(
+    plan: SubmPlan,
+    pair_budget: Optional[int] = None,
+    entry_budget: Optional[int] = None,
+) -> SubmPlan:
     """Attach the block-banded plan (ops.band_conv) for this level's wide
     (cin > 64) k3 convs. One build serves every conv on the level."""
     from .band_conv import build_band_plan
 
     if plan.legacy is None:
         return plan
-    return plan._replace(band=build_band_plan(plan.legacy, 3))
+    return plan._replace(
+        band=build_band_plan(plan.legacy, 3, pair_budget=pair_budget,
+                             entry_budget=entry_budget)
+    )
 
 
 class BandedRulebook(NamedTuple):
@@ -578,6 +585,14 @@ class StridedPlan(NamedTuple):
     out_coords: jnp.ndarray  # (out_capacity, 4) int32, padded with -1
     rulebook: jnp.ndarray  # (K^3, out_capacity) int32
     spatial_shape: Tuple[int, int, int]  # output spatial shape
+    # packed form (k == s, p == 0 only): every input row feeds exactly ONE
+    # (output, tap) pair, so the whole conv is expressible input-major —
+    # parent[i] = output row (or -1), tap[i] = kernel tap. The packed apply
+    # replaces the K^3·N_out gather (7/8 of whose descriptors are inactive
+    # on the inverse) with ONE scatter/gather of N_in rows + an 8-tap
+    # batched matmul; see strided_conv_packed / inverse_conv_packed.
+    parent: Optional[jnp.ndarray] = None  # (N_in,) int32
+    tap: Optional[jnp.ndarray] = None  # (N_in,) int32
 
 
 def downsample_shape(spatial_shape, kernel_size, stride, padding):
@@ -634,7 +649,9 @@ def build_strided_plan(
             .set(jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1))[:-1]
             .reshape(k3, out_capacity)
         )
-        return StridedPlan(out_coords, rulebook, out_shape)
+        parent = jnp.where(valid, inverse, -1).astype(jnp.int32)
+        return StridedPlan(out_coords, rulebook, out_shape,
+                           parent=parent, tap=tap.astype(jnp.int32))
 
     # general case — candidate output coords: for input voxel v and tap d,
     # out = (v + p - d) / s
@@ -765,6 +782,81 @@ def apply_sparse_conv(
                 precision=precision,
             )
     out = jnp.where(out_mask[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+def _packed_tap_matmul(features, tap, weights, compute_dtype):
+    """(N, Cin) x per-row tap-selected (Cin, Cout) -> (N, Cout) f32.
+
+    Computes all K^3 tap matmuls densely (K^3-fold FLOPs — cheap at these
+    widths, ~0.2-0.6 ms/conv at bench shapes) and one-hot selects per row;
+    the alternative, a per-row weight gather, would materialize (N, Cin,
+    Cout)."""
+    k3, cin, cout = weights.shape
+    n = features.shape[0]
+    precision = (None if compute_dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
+    x = features.astype(compute_dtype)
+    onehot = (tap[:, None] == jnp.arange(k3, dtype=tap.dtype)[None, :])
+    # im2col row: x placed in its tap's Cin-block, zeros elsewhere — one
+    # (N, K3*Cin) bf16 transient + ONE full-contraction matmul
+    xk = (x[:, None, :] * onehot[:, :, None].astype(compute_dtype)).reshape(
+        n, k3 * cin
+    )
+    return jnp.dot(
+        xk, weights.astype(compute_dtype).reshape(k3 * cin, cout),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def strided_conv_packed(
+    features: jnp.ndarray,
+    parent: jnp.ndarray,
+    tap: jnp.ndarray,
+    weights: jnp.ndarray,
+    out_capacity: int,
+    out_mask: jnp.ndarray,
+    precision_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Input-major k==s strided conv: out[parent[i]] += x[i] @ W[tap[i]].
+
+    One N_in-row scatter-add instead of the K^3 x N_out gather — on TPU both
+    are descriptor-bound at the same rows/s, so this is ~K^3/(N_in/N_out)x
+    fewer descriptors (~4x for k2s2). Backward (autodiff): the scatter's
+    cotangent is a plain N_in-row gather, the tap matmuls batch on the MXU.
+    """
+    compute_dtype = precision_dtype or features.dtype
+    y = _packed_tap_matmul(features, tap, weights, compute_dtype)
+    y = jnp.where((parent >= 0)[:, None], y, 0.0)
+    # negative/overflow parents drop (jnp .at out-of-bounds scatter 'drop')
+    out = jnp.zeros((out_capacity, weights.shape[2]), jnp.float32).at[
+        parent, :
+    ].add(y, mode="drop")
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+def inverse_conv_packed(
+    features: jnp.ndarray,
+    parent: jnp.ndarray,
+    tap: jnp.ndarray,
+    weights: jnp.ndarray,
+    fine_mask: jnp.ndarray,
+    precision_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Input-major k==s inverse conv: out[i] = x_coarse[parent[i]] @ W[tap[i]].
+
+    ``parent``/``tap`` are the DOWNSAMPLE plan's arrays (spconv indice_key
+    reuse: the inverse conv is the exact transpose of the strided conv over
+    the same pairing). Each fine row has exactly one active tap, so this is
+    ONE gather of N_fine rows — the rulebook form pays K^3 x N_fine
+    descriptors with 7/8 of them inactive."""
+    compute_dtype = precision_dtype or features.dtype
+    safe = jnp.where(parent >= 0, parent, 0)
+    g = features.astype(compute_dtype)[safe]
+    g = jnp.where((parent >= 0)[:, None], g, 0)
+    out = _packed_tap_matmul(g, tap, weights, compute_dtype)
+    out = jnp.where(fine_mask[:, None], out, 0.0)
     return out.astype(features.dtype)
 
 
