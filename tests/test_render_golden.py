@@ -11,12 +11,23 @@ next-round item #6)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn.functional as F
 
 from ponderv2_tpu.models.ponder.render.surface_models import NeuSModel
 
-torch.set_default_dtype(torch.float64)
+
+@pytest.fixture(autouse=True)
+def _torch_float64():
+    # Scoped, not module-level: pytest imports every module at collection
+    # time, so a module-level set_default_dtype leaks float64 into every
+    # other torch-oracle test in the session (broke
+    # test_render.py::TestContrastiveSemanticLoss in full-suite runs).
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
 
 
 def _t(x):
