@@ -84,7 +84,26 @@ class SubMConv(nn.Module):
                 st.coords, st.spatial_shape, st.batch_size, self.kernel_size
             )
         dtype_token = jnp.zeros((0,), self.compute_dtype or st.features.dtype)
-        if isinstance(rulebook, SubmPlan) and cin <= 64:
+        # SubmPlan and BandedRulebook both expose .legacy/.band
+        legacy = getattr(rulebook, "legacy", rulebook)
+        band_plan = getattr(rulebook, "band", None)
+        eligible = band_eligible(cin, self.out_channels, self.kernel_size)
+        if eligible and (band_plan is not None or
+                         (legacy is not None and cin > 64)):
+            # block-banded Pallas kernel: windows of contiguous rows DMA'd
+            # per (block, tap-column), one-hot extraction on the MXU —
+            # replaces the descriptor-bound 27N row gather (ops/band_conv.py;
+            # narrow widths win since the fused dx+dW backward). Levels
+            # attach a shared plan (attach_band_plan); inline build is the
+            # fallback for wide convs only — for narrow ones a per-call 27N
+            # relayout would eat the win, so they take the slab path below.
+            plan = band_plan if band_plan is not None else build_band_plan(
+                legacy, 3)
+            out = band_subm_conv(
+                (3, BAND_BLOCK, BAND_WINDOW), st.features, plan, w,
+                st.mask, dtype_token,
+            )
+        elif isinstance(rulebook, SubmPlan) and cin <= 64:
             # slab plan: one row gather per tap-column, slab-gather backward.
             # Pays off at narrow widths where plain gathers are
             # descriptor-bound (measured v5e: k5/6ch 3.7x, k3/32ch 1.3-1.45x,
@@ -98,28 +117,10 @@ class SubMConv(nn.Module):
                 dtype_token,
             )
         else:
-            # SubmPlan and BandedRulebook both expose .legacy/.band
-            legacy = getattr(rulebook, "legacy", rulebook)
-            if legacy is not None and band_eligible(
-                cin, self.out_channels, self.kernel_size
-            ):
-                # block-banded Pallas kernel: windows of contiguous rows DMA'd
-                # per (block, tap-column), one-hot extraction on the MXU —
-                # replaces the descriptor-bound 27N row gather for wide convs
-                # (ops/band_conv.py). Levels attach a shared plan
-                # (attach_band_plan); building inline is the fallback.
-                plan = getattr(rulebook, "band", None)
-                if plan is None:
-                    plan = build_band_plan(legacy, 3)
-                out = band_subm_conv(
-                    (3, BAND_BLOCK, BAND_WINDOW), st.features, plan, w,
-                    st.mask, dtype_token,
-                )
-            else:
-                # gather-only backward via the mirrored rulebook (subm symmetry)
-                out = subm_conv_symmetric(
-                    st.features, legacy, w, st.mask, dtype_token
-                )
+            # gather-only backward via the mirrored rulebook (subm symmetry)
+            out = subm_conv_symmetric(
+                st.features, legacy, w, st.mask, dtype_token
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(st.mask[:, None], out + b, 0.0)

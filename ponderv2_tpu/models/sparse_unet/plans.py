@@ -104,12 +104,17 @@ def build_spunet_plans(
         strided.append((plan.out_coords, plan.rulebook, plan.parent, plan.tap))
         c, shape = plan.out_coords, plan.spatial_shape
         rb = _build_subm(c, shape, batch_size, 3, slab_conv)
-        # wide if the encoder blocks OR the decoder blocks at this level are
-        # band-eligible (decoder stage s runs at level num_stages - 1 - s)
+        # attach a band plan if the encoder blocks OR the decoder blocks at
+        # this level would take the band path (decoder stage s runs at level
+        # num_stages - 1 - s) — band_eligible folds in the env gates, so a
+        # disabled band path skips the 27N relayout entirely
+        from ...ops.band_conv import band_eligible
+
         dec_ch = channels[num_stages + (num_stages - 1 - (s + 1))] if (
             s + 1 < num_stages) else None
-        wide = channels[s] > 64 or (dec_ch is not None and dec_ch > 64)
-        if wide and isinstance(rb, SubmPlan):
+        wants_band = band_eligible(channels[s], channels[s], 3) or (
+            dec_ch is not None and band_eligible(dec_ch, dec_ch, 3))
+        if wants_band and isinstance(rb, SubmPlan):
             rb = attach_band_plan(rb, pair_budget, entry_budget)
         subm.append(rb)
 
@@ -136,7 +141,10 @@ def build_spunet_plans(
             for dx in (1, 2, 3) for dy in (1, 2, 3) for dz in (1, 2, 3)
         ]
         l0 = stem[jnp.asarray(inner)]
-    if channels[2 * num_stages - 1] > 64 and isinstance(l0, SubmPlan):
+    from ...ops.band_conv import band_eligible as _beligible
+
+    last_ch = channels[2 * num_stages - 1]
+    if _beligible(last_ch, last_ch, 3) and isinstance(l0, SubmPlan):
         l0 = attach_band_plan(l0, pair_budget, entry_budget)
 
     return SpUNetPlans(stem=stem, strided=tuple(strided), subm=tuple(subm),

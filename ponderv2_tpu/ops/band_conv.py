@@ -275,6 +275,73 @@ def _dw_kernel(ncols, kz, win, cp, cop, nblocks, w0_ref, rbt3_ref, gp_ref,
         )
 
 
+def _dxdw_kernel(ncols, kz, win, cp, cop, w0_ref, rbt_ref, gp_ref, wtsT_ref,
+                 fp_ref, dx_ref, dwr_ref, wins, sems):
+    """Fused backward: ONE cotangent extraction per tap serves BOTH dx and
+    dW. The split kernels (_fwd_core on g + _dw_kernel) each re-extract the
+    same (block, tap) cotangent windows — at 96/128 channels the extraction
+    one-hot matmul is half the kernel's FLOPs, so fusing cuts backward
+    arithmetic ~25-30%. Grid (nblocks,): per block, 9 g-windows DMA'd once;
+    per tap t: aligned_g = onehot @ window; dx += aligned_g @ W[mirror t]^T
+    (wtsT pre-mirrored by the wrapper); dwr[t] += f^T @ aligned_g (the slice
+    holds dW[mirror t], un-mirrored by the wrapper). The (k3*cp, cop) dW
+    accumulator stays VMEM-resident across all grid steps (out block index
+    constant), which bounds this kernel to cmax <= 128-ish shapes — wider
+    convs keep the split kernels (_fused_bwd_fits)."""
+    b = pl.program_id(0)
+
+    def window_at(c):
+        return gp_ref.at[pl.ds(pl.multiple_of(w0_ref[c, b], 8), win), :]
+
+    for c in range(ncols):
+        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).start()
+
+    @pl.when(b == 0)
+    def _():
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+
+    block = dx_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, win), 1)
+    fblk = fp_ref[:]
+    acc = jnp.zeros((block, cp), jnp.float32)
+    for c in range(ncols):
+        pltpu.make_async_copy(window_at(c), wins.at[c], sems.at[c]).wait()
+        base = w0_ref[c, b]
+        for dz in range(kz):
+            t = c * kz + dz
+            pos = rbt_ref[:, t : t + 1] - base
+            oh = (iota == pos).astype(wins.dtype)
+            al = jnp.dot(oh, wins[c], preferred_element_type=jnp.float32)
+            alc = al.astype(wins.dtype)
+            acc = acc + jnp.dot(
+                alc,
+                wtsT_ref[t * cop : (t + 1) * cop, :],
+                preferred_element_type=jnp.float32,
+            )
+            dwr_ref[t * cp : (t + 1) * cp, :] += jax.lax.dot_general(
+                fblk,
+                alc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dx_ref[:] = acc
+
+
+def _fused_bwd_fits(cp, cop, window, block, k3, ncols) -> bool:
+    """VMEM budget for the fused dx+dW kernel: windows + wtsT + resident dW
+    accumulator + f/dx blocks + iota/one-hot temporaries."""
+    if os.environ.get("PONDER_BAND_FUSED_BWD", "1") != "1":
+        return False
+    est = (
+        ncols * window * cop * 2
+        + k3 * cop * cp * 2
+        + k3 * cp * cop * 4
+        + block * cp * (2 + 4)
+        + 2 * block * window * 4
+    )
+    return est < 12 * 1024 * 1024
+
+
 # ------------------------------------------------------------------ wrappers
 
 
@@ -406,34 +473,66 @@ def _bwd_impl(features, g, plan, weights, compute_dtype, kz, block, window):
         w_mirT.astype(compute_dtype),
         ((0, 0), (0, cop - cout), (0, cp - cin)),
     ).reshape(k3 * cop, cp)
-    dx = _fwd_core(gp, rbt, w0, wtsT, compute_dtype, kz, block, window,
-                   cop, cp)[:n, :cin]
+    if _fused_bwd_fits(cp, cop, window, block, k3, ncols):
+        kern = functools.partial(_dxdw_kernel, ncols, kz, window, cp, cop)
+        dx, dwr = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nblocks,),
+                in_specs=[
+                    pl.BlockSpec((block, k3), lambda b, w0s: (b, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block, cp), lambda b, w0s: (b, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((block, cp), lambda b, w0s: (b, 0)),
+                    pl.BlockSpec((k3 * cp, cop), lambda b, w0s: (0, 0)),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((ncols, window, cop), compute_dtype),
+                    pltpu.SemaphoreType.DMA((ncols,)),
+                ],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((npad, cp), jnp.float32),
+                jax.ShapeDtypeStruct((k3 * cp, cop), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(w0, rbt, gp, wtsT, fp)
+        dx = dx[:n, :cin]
+    else:
+        dx = _fwd_core(gp, rbt, w0, wtsT, compute_dtype, kz, block, window,
+                       cop, cp)[:n, :cin]
+        kern = functools.partial(_dw_kernel, ncols, kz, window, cp, cop,
+                                 nblocks)
+        dwr = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ncols, nblocks),
+                in_specs=[
+                    pl.BlockSpec((None, block, kz),
+                                 lambda c, b, w0s: (c, b, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((block, cp), lambda c, b, w0s: (b, 0)),
+                ],
+                out_specs=pl.BlockSpec((kz * cp, cop),
+                                       lambda c, b, w0s: (c, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((2, window, cop), compute_dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((k3 * cp, cop), jnp.float32),
+            interpret=_interpret(),
+        )(w0, rbt3, gp, fp)
     # dropped mirrored entries: dx[i] += g[rbt[i, t]] @ W[mirror t]^T
     dx = dx + _overflow_residual(
         g, plan.ov_j, plan.ov_i, plan.ov_t, w_mirT, n, cin, compute_dtype
     )
     dx = dx * gate
-
-    kern = functools.partial(_dw_kernel, ncols, kz, window, cp, cop, nblocks)
-    dwr = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ncols, nblocks),
-            in_specs=[
-                pl.BlockSpec((None, block, kz), lambda c, b, w0s: (c, b, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((block, cp), lambda c, b, w0s: (b, 0)),
-            ],
-            out_specs=pl.BlockSpec((kz * cp, cop), lambda c, b, w0s: (c, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, window, cop), compute_dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((k3 * cp, cop), jnp.float32),
-        interpret=_interpret(),
-    )(w0, rbt3, gp, fp)
     # dwr slice t holds dW[mirror(t)]
     dw = dwr.reshape(k3, cp, cop)[::-1, :cin, :cout]
     # dropped mirrored entries: dW[mirror t] += f[i]^T g[rbt[i, t]]
@@ -481,7 +580,13 @@ def band_eligible(cin: int, cout: int, kernel_size) -> bool:
     if os.environ.get("PONDER_BAND_CONV", "1") != "1":
         return False
     k = kernel_size if isinstance(kernel_size, int) else max(kernel_size)
-    if k != 3 or cin <= 64:
+    # Narrow channels (32/64) included since the fused dx+dW backward: with
+    # split kernels band-narrow was parity with slab (fwd 2.3x faster,
+    # backward correspondingly slower — two extractions at padded-128
+    # lanes); one extraction serving both grads tips f+g in band's favor.
+    # PONDER_BAND_MIN_CIN=65 restores the old slab routing for A/B.
+    min_cin = int(os.environ.get("PONDER_BAND_MIN_CIN", "1"))
+    if k != 3 or cin < min_cin:
         return False
     # worst kernel (fwd or dx): 9 resident windows + full weights in VMEM
     # + double-buffered out blocks + the (BLOCK, WINDOW) iota/one-hot

@@ -79,28 +79,29 @@ class TestPlans:
                                    np.asarray(out_pre), rtol=1e-3, atol=1e-6)
 
     def test_band_budgets_auto_size(self):
-        """Pathological coords (a clustered surface scan whose z-run lengths
-        vary — block spans blow past the static band window, ~200 overflow
-        entries measured) must overflow tiny starting budgets; the host build
-        auto-doubles until every band plan's ``ok`` flag is True — no env
-        tuning."""
+        """Pathological coords must overflow tiny starting budgets and the
+        host build must auto-double until every band plan's ``ok`` flag is
+        True — no env tuning. Overflow is guaranteed by construction:
+        alternating dense (32y x 16z = 512-row) and sparse (4y x 4z = 16-row)
+        x-slices make a sparse-slice row's x-neighbor tap inputs spread
+        across the full dense next slice, so the (block, tap-column) span is
+        ~544 rows — past the 384-row static window — for every block that
+        straddles a sparse slice."""
         from ponderv2_tpu.models.sparse_unet.plans import band_ok_flags
 
-        rng = np.random.RandomState(0)
-        S = 64
-        xs, ys = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
-        h = (8 + 6 * np.sin(xs / 7.0) + 6 * np.cos(ys / 9.0)).astype(int)
-        d = rng.randint(1, 24, size=(S, S))
-        rows = [
-            (0, x, y, z)
-            for x in range(S) for y in range(S)
-            for z in range(h[x, y], min(h[x, y] + d[x, y], 63))
-        ]
+        S = 32
+        rows = []
+        for x in range(S):
+            ys = range(S) if x % 2 == 0 else range(0, S, 8)
+            zmax = 16 if x % 2 == 0 else 4
+            for y in ys:
+                for z in range(zmax):
+                    rows.append((0, x, y, z))
         coords = np.array(rows, np.int32)  # already (b, x, y, z) sorted
-        shape = (S, S, 64)
+        shape = (S, S, 16)
         num_stages = 4
         caps = capacity_schedule(len(coords), num_stages)
-        channels = (16, 16, 16, 16, 16, 16, 8, 96)  # band at L0 only
+        channels = (16, 16, 16, 16, 16, 16, 8, 96)
 
         plans = host_build_spunet_plans(
             coords[:, 1:], coords[:, 0], shape, 1, caps, channels,

@@ -590,6 +590,39 @@ class TestBandConv:
         np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("fused", ["1", "0"])
+    def test_fused_and_split_backward_match(self, rng, fused, monkeypatch):
+        """The fused dx+dW kernel and the split (dx core + dW kernel) path
+        must both reproduce the plain conv's autodiff grads."""
+        import jax
+
+        from ponderv2_tpu.ops.band_conv import band_subm_conv, build_band_plan
+        from ponderv2_tpu.ops.spconv import apply_sparse_conv
+
+        monkeypatch.setenv("PONDER_BAND_FUSED_BWD", fused)
+        kernel, cin, cout = 3, 12, 9
+        st, rb, weights = self._scene(rng, kernel, cin=cin, cout=cout, n=50,
+                                      shape=(9, 9, 9))
+        block, window = 8, 32
+        plan = build_band_plan(rb, kernel, block=block, window=window)
+        assert bool(plan.ok)
+        token = jnp.zeros((0,), jnp.float32)
+
+        def loss_band(f, w):
+            out = band_subm_conv((kernel, block, window), f, plan,
+                                 w, st.mask, token)
+            return jnp.sum(out * out)
+
+        def loss_plain(f, w):
+            return jnp.sum(apply_sparse_conv(f, rb, w, st.mask) ** 2)
+
+        gf_b, gw_b = jax.grad(loss_band, argnums=(0, 1))(st.features, weights)
+        gf_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(st.features, weights)
+        np.testing.assert_allclose(np.asarray(gf_b), np.asarray(gf_p),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_window_overflow_exact_via_residual(self, rng):
         """Blocks whose span exceeds the window stay EXACT: the out-of-window
         tail entries are compacted into the plan's budgeted overflow list and
