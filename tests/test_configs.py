@@ -103,17 +103,14 @@ def _synthetic_batch(cfg):
     return arrays, ctx
 
 
-@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: p.split("configs/")[-1])
-def test_config_parses_and_model_traces(path):
+# smoke tier traces only the cheapest representative; the other families'
+# traces cost 10-36 s of pure-python rulebook tracing each -> slow tier
+LIGHT_TRACE = {"configs/scannet/semseg-spunet-v1m1-0-base.py"}
+
+
+def _abstract_trace(path):
     cfg = Config.fromfile(path)
-    assert "model" in cfg and "type" in cfg.model
     model = build_model(dict(cfg.model))
-
-    if path not in TRACE_CONFIGS:
-        # model built (registry/type/kwargs all validated); full abstract
-        # traces run for one representative config per family
-        return
-
     arrays, ctx = _synthetic_batch(cfg)
     rng = jax.random.PRNGKey(0)
     # abstract trace: no compile, catches shape/key errors through the full fwd
@@ -121,3 +118,21 @@ def test_config_parses_and_model_traces(path):
         lambda r, a: model.init(r, {**a, **ctx, "rng": r}, train=False),
         rng, arrays,
     )
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: p.split("configs/")[-1])
+def test_config_parses_and_model_traces(path):
+    cfg = Config.fromfile(path)
+    assert "model" in cfg and "type" in cfg.model
+    build_model(dict(cfg.model))
+    if path in (TRACE_CONFIGS & LIGHT_TRACE):
+        _abstract_trace(path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "path", sorted(TRACE_CONFIGS - LIGHT_TRACE),
+    ids=lambda p: p.split("configs/")[-1],
+)
+def test_config_traces_heavy(path):
+    _abstract_trace(path)

@@ -175,6 +175,7 @@ class TestCollateSortInvariant:
             np.testing.assert_array_equal(out["feat"][i], f)
             assert out["segment"][i] == seg
 
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_assume_sorted_model_equivalence(self, rng):
         from ponderv2_tpu.models import build_model
 

@@ -86,6 +86,7 @@ class TestSamplers:
 
 
 class TestNeuSModel:
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_render_and_losses(self, rng):
         from ponderv2_tpu.models.ponder.render.surface_models import NeuSModel
 
@@ -313,6 +314,7 @@ class TestErrorBoundedSampler:
         assert np.all(np.asarray(beta) >= beta0 - 1e-7)
         assert np.all(np.asarray(err) <= sampler.eps + 1e-4)
 
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_end_to_end_sorted_and_in_range(self, rng):
         from ponderv2_tpu.models.ponder.render.samplers import (
             ErrorBoundedSampler,

@@ -262,6 +262,7 @@ class TorchOracle:
 
 
 class TestGoldenForward:
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_full_forward_matches_torch_oracle(self):
         """One fixed scene, full render forward pinned against the float64
         torch oracle: catches compositing/sampler drift that loss-level

@@ -181,6 +181,7 @@ class TestInverseConv:
 
 
 class TestGradients:
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_grads_flow_and_match_fd(self, rng):
         import jax
 
@@ -304,6 +305,7 @@ class TestWindowedGather:
             np.asarray(dw), np.asarray(dw_ref), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_full_vjp_windowed_branch(self, rng, monkeypatch):
         """Force the windowed branch of subm_conv_symmetric and check grads
         against plain autodiff."""
@@ -376,13 +378,15 @@ class TestSlabPlan:
         rb = build_subm_rulebook(jnp.asarray(coords), shape, batch, kernel)
         return coords, feats, plan, rb
 
-    @pytest.mark.parametrize("kernel", [3, 5])
+    @pytest.mark.parametrize("kernel", [
+        3, pytest.param(5, marks=pytest.mark.slow)])
     def test_legacy_matches_rulebook(self, rng, kernel):
         coords, feats, plan, rb = self._plan_and_ref(rng, kernel)
         assert bool(plan.sorted_ok)
         np.testing.assert_array_equal(np.asarray(plan.legacy), np.asarray(rb))
 
-    @pytest.mark.parametrize("kernel,cin", [(3, 4), (3, 40), (5, 4)])
+    @pytest.mark.parametrize("kernel,cin", [
+        (3, 4), (3, 40), pytest.param(5, 4, marks=pytest.mark.slow)])
     def test_slab_conv_matches_plain(self, rng, kernel, cin):
         from ponderv2_tpu.ops.spconv import slab_pack, subm_conv_slab
 
@@ -468,6 +472,7 @@ class TestSlabPlan:
                              st.mask, token)
         assert np.abs(np.asarray(out)).sum() == 0
 
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_derive_inner_plan_matches_k3(self, rng):
         from ponderv2_tpu.ops.spconv import (
             build_subm_plan, derive_inner_subm_plan,
@@ -590,7 +595,8 @@ class TestBandConv:
         np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
                                    rtol=1e-4, atol=1e-4)
 
-    @pytest.mark.parametrize("fused", ["1", "0"])
+    @pytest.mark.parametrize("fused", [
+        "1", pytest.param("0", marks=pytest.mark.slow)])
     def test_fused_and_split_backward_match(self, rng, fused, monkeypatch):
         """The fused dx+dW kernel and the split (dx core + dW kernel) path
         must both reproduce the plain conv's autodiff grads."""
@@ -623,6 +629,7 @@ class TestBandConv:
         np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_p),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_window_overflow_exact_via_residual(self, rng):
         """Blocks whose span exceeds the window stay EXACT: the out-of-window
         tail entries are compacted into the plan's budgeted overflow list and

@@ -91,6 +91,7 @@ class TestSubpixelConvTranspose:
 
 
 class TestUNetFormulationsEndToEnd:
+    @pytest.mark.slow  # heavy jit compile; smoke tier skips
     def test_fast_paths_match_plain(self, rng, monkeypatch):
         """Full UNet3D-v1m2 forward: zpack+subpixel on vs both off, same
         params, at a spatial size that engages the zpack path (X*Y >= 64^2)."""
